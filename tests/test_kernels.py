@@ -1,0 +1,118 @@
+"""Round-trip property tests for the numpy codec kernels.
+
+Mirrors the reference's assertion class (1) in SURVEY.md §5: match/emit
+validity asserts (reference src/zopfli/lz77.c:274-287, deflate.c:423-454) —
+here as decode(encode(x)) == x over adversarial distributions, plus the
+stored-block size guarantee (deflate.c:935-938,1110-1114).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from zopfli_spark.codecs import bitio
+from zopfli_spark.codecs.kernels import (
+    blob_codec_name,
+    decode_blob,
+    encode_best,
+    encode_simple,
+)
+from zopfli_spark.codecs.strings import decode_strings, encode_strings
+
+RNG = np.random.Generator(np.random.PCG64(42))
+
+CASES = {
+    "empty": np.array([], dtype=np.int64),
+    "single": np.array([7], dtype=np.int64),
+    "constant": np.full(1000, 123456, dtype=np.int64),
+    "two_values": np.array([0, 2**31 - 1], dtype=np.int64),
+    "int32_extremes": np.array([-(2**31), 2**31 - 1, 0, -1, 1], dtype=np.int64),
+    "ascending": np.arange(5000, dtype=np.int64) * 3 + 17,
+    "descending": np.arange(5000, dtype=np.int64)[::-1].copy(),
+    "narrow_range": RNG.integers(1000, 1064, 5000).astype(np.int64),
+    "zipfian": np.minimum(RNG.zipf(1.3, 5000), 50000).astype(np.int64),
+    "uniform_random": RNG.integers(0, 2**17, 5000).astype(np.int64),
+    "run_heavy": np.repeat(RNG.integers(0, 100, 200), RNG.integers(1, 50, 200)).astype(np.int64),
+    "negatives": RNG.integers(-(2**16), 2**16, 3000).astype(np.int64),
+    "mostly_constant": np.where(RNG.random(4000) < 0.99, 5, RNG.integers(0, 100, 4000)).astype(np.int64),
+}
+
+
+@pytest.mark.parametrize("name", sorted(CASES))
+def test_encode_best_roundtrip(name):
+    v = CASES[name]
+    blob = encode_best(v)
+    out = decode_blob(blob, len(v))
+    assert np.array_equal(out, v), f"{name}: roundtrip mismatch via {blob_codec_name(blob)}"
+    # stored-block guarantee: never worse than plain + tag byte
+    assert len(blob) <= 1 + 4 * len(v), f"{name}: {len(blob)} > plain"
+
+
+@pytest.mark.parametrize("name", sorted(CASES))
+def test_encode_simple_roundtrip(name):
+    v = CASES[name]
+    blob = encode_simple(v)
+    assert np.array_equal(decode_blob(blob, len(v)), v)
+
+
+def test_expected_codec_choices():
+    assert blob_codec_name(encode_best(CASES["constant"])) == "constant"
+    assert blob_codec_name(encode_best(CASES["ascending"])) == "delta_bitpack"
+    assert blob_codec_name(encode_best(CASES["narrow_range"])) in ("for_bitpack", "for_zlib", "zlib")
+    assert blob_codec_name(encode_best(CASES["run_heavy"])) in ("rle", "dict_rle", "zlib", "for_zlib")
+    big_zipf = np.minimum(RNG.zipf(1.5, 20000), 2**17).astype(np.int64)
+    assert blob_codec_name(encode_best(big_zipf)) in ("dict", "dict_rle", "zlib", "for_zlib")
+
+
+def test_compression_actually_compresses():
+    v = CASES["narrow_range"]
+    assert len(encode_best(v)) < 4 * len(v) / 3  # ≥ ~3x on 6-bit range data
+    v = CASES["ascending"]
+    assert len(encode_best(v)) < 4 * len(v) / 4
+
+
+@pytest.mark.parametrize("width", [0, 1, 3, 7, 8, 9, 15, 16, 17, 31, 32, 33, 47, 64])
+def test_pack_unpack_bits(width):
+    n = 999
+    if width == 0:
+        vals = np.zeros(n, dtype=np.uint64)
+    else:
+        hi = np.uint64(2**width - 1)
+        vals = RNG.integers(0, int(hi) + 1 if width < 64 else 2**63, n, dtype=np.uint64)
+        vals[0] = hi
+        vals[-1] = 0
+    buf = bitio.pack_bits(vals, width)
+    assert len(buf) == (n * width + 7) // 8
+    out = bitio.unpack_bits(buf, n, width)
+    assert np.array_equal(out, vals)
+
+
+def test_zigzag():
+    v = np.array([0, -1, 1, -2, 2, -(2**62), 2**62], dtype=np.int64)
+    assert np.array_equal(bitio.zigzag_decode(bitio.zigzag_encode(v)), v)
+
+
+STRING_CASES = {
+    "empty": np.array([], dtype=object),
+    "one": np.array(["doc_000000000001"], dtype=object),
+    "doc_ids": np.array([f"doc_{i:012d}" for i in range(500)], dtype=object),
+    "low_card": np.array(["web", "code", "books", "wiki"] * 250, dtype=object),
+    "unicode": np.array(["héllo", "wörld", "日本語テキスト", ""] * 50, dtype=object),
+    "empties": np.array(["", "", "a", ""], dtype=object),
+}
+
+
+@pytest.mark.parametrize("name", sorted(STRING_CASES))
+def test_string_roundtrip(name):
+    s = STRING_CASES[name]
+    blob = encode_strings(s)
+    out = decode_strings(blob, len(s))
+    assert list(out) == list(s)
+
+
+def test_fsst_compresses_doc_ids():
+    s = STRING_CASES["doc_ids"]
+    blob = encode_strings(s)
+    raw = sum(len(x) for x in s)
+    assert len(blob) < raw  # shared 'doc_0000000' prefixes must compress

@@ -1,0 +1,285 @@
+"""Codecs for string columns (doc_id, source) stored in page headers.
+
+Blob format: ``[u8 tag][body]``
+
+    S_PLAIN 0: [u32 len(lengths_blob)][lengths blob (int codec)][utf8 bytes]
+    S_DICT  1: [u32 card][u32 len(values_blob)][values_blob (S_* blob)]
+               [indices blob (int codec)]
+    S_FSST  2: [u8 n_symbols][symbol table: n × (u8 len + bytes)]
+               [u32 len(lengths_blob)][raw-lengths blob][code bytes]
+
+S_FSST is an FSST-style static symbol-table byte codec (Boncz/Neumann/Leis,
+"FSST: Fast Random Access String Compression", VLDB 2020 — public algorithm):
+frequent byte sequences are replaced by one-byte codes from a per-page table,
+with code 255 escaping raw literals exactly like FSST's escape byte. Training
+is BPE-flavored (iteratively merge the most frequent adjacent code pair),
+chosen because it is expressible as vectorized numpy over the concatenated
+corpus — the no-per-row-Python contract. Its role matches the reference's
+"compress the metadata stream too" discipline (EncodeTree, reference:
+src/zopfli/deflate.c:118-293).
+
+Auto-selection between S_PLAIN / S_DICT / S_FSST is exact-size argmin, the
+same policy as kernels.encode_best (reference src/zopfli/deflate.c:1071-1131).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from .kernels import decode_blob, encode_simple
+
+S_PLAIN = 0
+S_DICT = 1
+S_FSST = 2
+
+_U32 = struct.Struct("<I")
+_ESCAPE = 255
+_FSST_MAX_CORPUS = 1 << 20  # metadata-path cap; payload codecs live in kernels.py
+
+
+def _concat_utf8(strings: np.ndarray) -> tuple[bytes, np.ndarray]:
+    bs = [s.encode("utf-8") for s in strings.tolist()]
+    lengths = np.fromiter((len(b) for b in bs), dtype=np.int64, count=len(bs))
+    return b"".join(bs), lengths
+
+
+def _split_utf8(data: bytes, lengths: np.ndarray) -> np.ndarray:
+    offsets = np.concatenate(([0], np.cumsum(lengths)))
+    n = len(lengths)
+    out = np.empty(n, dtype=object)
+    for i in range(n):
+        out[i] = data[offsets[i] : offsets[i + 1]].decode("utf-8")
+    return out
+
+
+def _enc_s_plain(strings: np.ndarray) -> bytes:
+    data, lengths = _concat_utf8(strings)
+    lb = encode_simple(lengths)
+    return bytes([S_PLAIN]) + _U32.pack(len(lb)) + lb + data
+
+
+def _dec_s_plain(body: memoryview, n: int) -> np.ndarray:
+    (lb_len,) = _U32.unpack(body[:4])
+    lengths = decode_blob(bytes(body[4 : 4 + lb_len]), n)
+    return _split_utf8(bytes(body[4 + lb_len :]), lengths)
+
+
+# ---------------------------------------------------------------------------
+# FSST-style symbol table codec
+# ---------------------------------------------------------------------------
+
+
+def _fsst_train(data: bytes, max_symbols: int = 64, max_len: int = 8) -> list[bytes]:
+    """Greedy BPE merge loop: each round counts adjacent code pairs with one
+    vectorized np.unique pass and merges the argmax pair if it pays for its
+    table entry (try-and-keep-if-smaller, reference src/zopfli/deflate.c:299-363).
+    """
+    work = np.frombuffer(data, dtype=np.uint8).astype(np.int64)
+    symbols: list[bytes] = [bytes([i]) for i in range(256)]
+    table: list[bytes] = []
+    next_code = 256
+    key_base = 1 << 20
+    while len(table) < max_symbols and len(work) >= 2:
+        a, b = work[:-1], work[1:]
+        keys = a * key_base + b
+        uk, counts = np.unique(keys, return_counts=True)
+        # prefer pairs whose merged symbol stays within max_len
+        order = np.argsort(counts)[::-1]
+        chosen = -1
+        for idx in order[:8]:  # scan a few top pairs; almost always the first
+            ka, kb = int(uk[idx]) // key_base, int(uk[idx]) % key_base
+            if len(symbols[ka]) + len(symbols[kb]) <= max_len:
+                chosen = int(idx)
+                break
+        if chosen < 0:
+            break
+        cnt = int(counts[chosen])
+        ka, kb = int(uk[chosen]) // key_base, int(uk[chosen]) % key_base
+        merged = symbols[ka] + symbols[kb]
+        if cnt <= len(merged) + 2:  # savings must beat the table-entry cost
+            break
+        pos = np.flatnonzero((a == ka) & (b == kb))
+        # drop overlapping consecutive matches (aaa: merge left-to-right)
+        if len(pos) > 1:
+            keep = np.ones(len(pos), dtype=bool)
+            last_end = -1
+            for i, p in enumerate(pos.tolist()):  # bounded by one pair's count
+                if p < last_end:
+                    keep[i] = False
+                else:
+                    last_end = p + 2
+            pos = pos[keep]
+        work[pos] = next_code
+        mask = np.ones(len(work), dtype=bool)
+        mask[pos + 1] = False
+        work = work[mask]
+        symbols.append(merged)
+        table.append(merged)
+        next_code += 1
+    return table
+
+
+def _fsst_encode(data: bytes, table: list[bytes]) -> bytes:
+    """Greedy longest-match encode, vectorized per symbol over the whole
+    corpus (rolling equality masks — the many-at-once idea of reference
+    src/zopfli/lz77.c:298-332)."""
+    n = len(data)
+    if n == 0:
+        return b""
+    arr = np.frombuffer(data, dtype=np.uint8)
+    claim = np.zeros(n, dtype=np.int16)  # 0 free, k>0 → start of table[k-1], -1 interior
+    order = sorted(range(len(table)), key=lambda i: -len(table[i]))
+    for si in order:
+        sym = np.frombuffer(table[si], dtype=np.uint8)
+        L = len(sym)
+        if L > n:
+            continue
+        m = np.ones(n - L + 1, dtype=bool)
+        for j in range(L):
+            m &= arr[j : n - L + 1 + j] == sym[j]
+        # candidate starts: unclaimed start AND all interior positions free
+        free = claim == 0
+        for j in range(L):
+            m &= free[j : n - L + 1 + j]
+        starts = np.flatnonzero(m)
+        if len(starts) > 1:  # drop overlaps among this symbol's own matches
+            keep = np.ones(len(starts), dtype=bool)
+            last_end = -1
+            for i, p in enumerate(starts.tolist()):
+                if p < last_end:
+                    keep[i] = False
+                else:
+                    last_end = p + L
+            starts = starts[keep]
+        if len(starts) == 0:
+            continue
+        claim[starts] = si + 1
+        for j in range(1, L):
+            claim[starts + j] = -1
+    # vectorized emit: literals cost 2 bytes (escape + raw), codes 1 byte
+    is_code = claim > 0
+    is_lit = claim == 0
+    out_len = np.zeros(n, dtype=np.int64)
+    out_len[is_code] = 1
+    out_len[is_lit] = 2
+    offs = np.concatenate(([0], np.cumsum(out_len)))
+    out = np.empty(offs[-1], dtype=np.uint8)
+    code_pos = np.flatnonzero(is_code)
+    out[offs[code_pos]] = (claim[code_pos] - 1).astype(np.uint8)
+    lit_pos = np.flatnonzero(is_lit)
+    out[offs[lit_pos]] = _ESCAPE
+    out[offs[lit_pos] + 1] = arr[lit_pos]
+    return out.tobytes()
+
+
+def _fsst_decode(code_bytes: bytes, table: list[bytes]) -> bytes:
+    """Vectorized expansion: resolve escape/code positions, then gather
+    symbol bytes from a padded 2D table."""
+    arr = np.frombuffer(code_bytes, dtype=np.uint8)
+    n = len(arr)
+    if n == 0:
+        return b""
+    # identify token starts: sequential only across runs of escape bytes,
+    # resolved per-run by parity (a run of k consecutive 0xFF bytes preceded
+    # by a start alternates escape/payload)
+    is_start = np.ones(n, dtype=bool)
+    esc = arr == _ESCAPE
+    if esc.any():
+        # payload byte after each true escape is not a token start; scan is
+        # sequential over escape positions only (rare in practice)
+        consumed = np.zeros(n + 1, dtype=bool)
+        for p in np.flatnonzero(esc).tolist():
+            if not consumed[p]:
+                consumed[p + 1] = True
+        is_start = ~consumed[:n]
+    tok_pos = np.flatnonzero(is_start)
+    tok = arr[tok_pos]
+    tok_is_esc = tok == _ESCAPE
+    max_len = max((len(s) for s in table), default=1)
+    tbl = np.zeros((len(table) + 1, max_len), dtype=np.uint8)
+    tbl_len = np.zeros(len(table) + 1, dtype=np.int64)
+    for i, s in enumerate(table):
+        tbl[i, : len(s)] = np.frombuffer(s, dtype=np.uint8)
+        tbl_len[i] = len(s)
+    sym_idx = np.where(tok_is_esc, len(table), tok).astype(np.int64)
+    lens = np.where(tok_is_esc, 1, tbl_len[sym_idx])
+    offs = np.concatenate(([0], np.cumsum(lens)))
+    out = np.empty(offs[-1], dtype=np.uint8)
+    # scatter escaped literals
+    esc_rows = np.flatnonzero(tok_is_esc)
+    out[offs[esc_rows]] = arr[tok_pos[esc_rows] + 1]
+    # scatter table symbols column by column (max_len ≤ 8 columns)
+    code_rows = np.flatnonzero(~tok_is_esc)
+    for j in range(max_len):
+        rows = code_rows[lens[code_rows] > j]
+        if len(rows) == 0:
+            continue
+        out[offs[rows] + j] = tbl[sym_idx[rows], j]
+    return out.tobytes()
+
+
+def _enc_s_fsst(strings: np.ndarray) -> bytes | None:
+    data, lengths = _concat_utf8(strings)
+    if not (64 <= len(data) <= _FSST_MAX_CORPUS):
+        return None
+    table = _fsst_train(data)
+    if not table:
+        return None
+    enc = _fsst_encode(data, table)
+    lb = encode_simple(lengths)
+    tbl = b"".join(bytes([len(s)]) + s for s in table)
+    return bytes([S_FSST, len(table)]) + tbl + _U32.pack(len(lb)) + lb + enc
+
+
+def _dec_s_fsst(body: memoryview, n: int) -> np.ndarray:
+    n_sym = body[0]
+    off = 1
+    table = []
+    for _ in range(n_sym):
+        L = body[off]
+        table.append(bytes(body[off + 1 : off + 1 + L]))
+        off += 1 + L
+    (lb_len,) = _U32.unpack(body[off : off + 4])
+    lengths = decode_blob(bytes(body[off + 4 : off + 4 + lb_len]), n)
+    data = _fsst_decode(bytes(body[off + 4 + lb_len :]), table)
+    return _split_utf8(data, lengths)
+
+
+def encode_strings(strings: np.ndarray, try_fsst: bool = True) -> bytes:
+    """Auto-select string codec by exact encoded size (argmin, like
+    kernels.encode_best; reference src/zopfli/deflate.c:1071-1131)."""
+    strings = np.asarray(strings, dtype=object)
+    n = len(strings)
+    best = _enc_s_plain(strings)
+    if n == 0:
+        return best
+    uniq, inverse = np.unique(strings.astype("U"), return_inverse=True)
+    if 1 <= len(uniq) <= n // 2:
+        vb = _enc_s_plain(uniq.astype(object))
+        ib = encode_simple(inverse.astype(np.int64))
+        cand = bytes([S_DICT]) + _U32.pack(len(uniq)) + _U32.pack(len(vb)) + vb + ib
+        if len(cand) < len(best):
+            best = cand
+    if try_fsst:
+        f = _enc_s_fsst(strings)
+        if f is not None and len(f) < len(best):
+            best = f
+    return best
+
+
+def decode_strings(buf: bytes, n: int) -> np.ndarray:
+    tag = buf[0]
+    body = memoryview(buf)[1:]
+    if tag == S_PLAIN:
+        return _dec_s_plain(body, n)
+    if tag == S_DICT:
+        (card,) = _U32.unpack(body[:4])
+        (vb_len,) = _U32.unpack(body[4:8])
+        vals = decode_strings(bytes(body[8 : 8 + vb_len]), card)
+        indices = decode_blob(bytes(body[8 + vb_len :]), n)
+        return vals[indices]
+    if tag == S_FSST:
+        return _dec_s_fsst(body, n)
+    raise ValueError(f"unknown string codec tag {tag}")
