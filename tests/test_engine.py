@@ -1,0 +1,90 @@
+"""End-to-end Spark round-trip tests (FIXTURES.md §6 invariants 1-4)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from zopfli_spark import EngineConfig, decode_table, encode_table, metrics_table, roundtrip_check
+from zopfli_spark.datagen import synth_tokens_df
+
+CFG = EngineConfig(
+    page_budget_values=20_000,
+    group_budget_values=80_000,
+    giant_doc_values=40_000,
+    max_pages_per_group=16,
+)
+
+
+@pytest.fixture(scope="module")
+def tokens_df(spark):
+    return synth_tokens_df(spark, n_docs=800, seed=42).cache()
+
+
+@pytest.fixture(scope="module")
+def pages(spark, tokens_df):
+    return encode_table(tokens_df, CFG).cache()
+
+
+def test_roundtrip_bit_identical(spark, tokens_df, pages):
+    decoded = decode_table(pages, CFG)
+    bad = roundtrip_check(tokens_df, decoded)
+    assert bad.count() == 0, bad.limit(5).toPandas().to_string()
+
+
+def test_row_counts_preserved(spark, tokens_df, pages):
+    assert decode_table(pages, CFG).count() == tokens_df.count()
+    n_rows = pages.agg(F.sum("n_rows")).collect()[0][0]
+    assert n_rows == tokens_df.count()
+
+
+def test_size_invariants(spark, pages):
+    # stored-block guarantee at page granularity: payload ≤ raw + tag byte;
+    # header is metadata the raw form also needs (doc ids / lens)
+    p = pages.select("raw_bytes", "enc_bytes", "n_values", "n_rows").toPandas()
+    assert (p["raw_bytes"] == 4 * p["n_values"]).all()
+    # engine-level: total encoded (incl headers) must beat total raw
+    assert p["enc_bytes"].sum() < p["raw_bytes"].sum()
+
+
+def test_compression_is_meaningful(spark, pages):
+    p = pages.agg(F.sum("raw_bytes").alias("r"), F.sum("enc_bytes").alias("e")).collect()[0]
+    ratio = p["r"] / p["e"]
+    assert ratio > 1.5, f"overall ratio {ratio:.2f} too weak for the synthetic mixture"
+
+
+def test_checksum_detects_corruption(spark, pages):
+    from zopfli_spark.operators.pagecodec import decode_page
+
+    row = pages.filter(F.col("n_values") > 10).first()
+    header, payload = bytes(row["header"]), bytes(row["payload"])
+    decode_page(header, payload, row["checksum"])  # clean passes
+    corrupt = bytearray(payload)
+    corrupt[-1] ^= 0xFF
+    with pytest.raises((ValueError, Exception)):
+        decode_page(header, bytes(corrupt), row["checksum"])
+
+
+def test_metrics_shape(spark, pages):
+    m = metrics_table(pages, "t").toPandas()
+    assert {"part_id", "codec", "pages", "ratio", "tokens_per_sec", "run_id"} <= set(m.columns)
+    assert (m["ratio"] > 0).all()
+
+
+def test_determinism_across_parallelism(spark, tokens_df):
+    """Byte-identical output regardless of input partitioning (FIXTURES §6.4)."""
+    a = encode_table(tokens_df.repartition(2), CFG)
+    b = encode_table(tokens_df.repartition(13), CFG)
+    pa = a.orderBy("part_id", "page_id").select("part_id", "page_id", "checksum", "enc_bytes", "codec").toPandas()
+    pb = b.orderBy("part_id", "page_id").select("part_id", "page_id", "checksum", "enc_bytes", "codec").toPandas()
+    assert pa.equals(pb)
+    ha = a.agg(F.sum(F.crc32(F.col("payload"))).alias("h"), F.sum(F.crc32(F.col("header"))).alias("hh")).collect()[0]
+    hb = b.agg(F.sum(F.crc32(F.col("payload"))).alias("h"), F.sum(F.crc32(F.col("header"))).alias("hh")).collect()[0]
+    assert ha == hb
+
+
+def test_empty_input(spark):
+    empty = spark.createDataFrame([], "doc_id string, tokens array<int>, n_tok int, source string")
+    assert encode_table(empty, CFG).count() == 0

@@ -7,3 +7,11 @@ Spark dataflow (DataFrames + Arrow-vectorized pandas UDFs). See SURVEY.md.
 """
 
 __version__ = "0.1.0"
+
+from .config import DEFAULT_CONFIG, EngineConfig  # noqa: F401,E402
+from .engine import (  # noqa: F401,E402
+    decode_table,
+    encode_table,
+    metrics_table,
+    roundtrip_check,
+)

@@ -1,0 +1,79 @@
+"""Page serialization: rows ↔ (header, payload) binary pair.
+
+Header layout (the container/envelope analog — gzip/zlib/zip headers,
+reference src/zopfli/gzip_container.c:33-83, zip_container.c:33-155 — here a
+per-page metadata blob instead of a byte-stream envelope)::
+
+    [u32 n_rows]
+    [u32 len(lens_blob)]   [lens_blob    — int codec over per-row n_tok]
+    [u32 len(docid_blob)]  [docid_blob   — string codec over doc_id]
+    [source_blob           — string codec over source]
+
+Payload = int codec blob over the concatenated token values.
+Checksum = crc32 of the raw '<i4' value bytes (CRC-over-original-bytes
+discipline, reference src/zopfli/crc32.c:67-78, gzip_container.c:76).
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+from ..codecs.kernels import blob_codec_name, decode_blob, encode_best, encode_simple
+from ..codecs.strings import decode_strings, encode_strings
+
+_U32 = struct.Struct("<I")
+
+
+def crc32_of_values(values: np.ndarray) -> int:
+    return zlib.crc32(np.ascontiguousarray(values, dtype="<i4").tobytes())
+
+
+def encode_page(
+    doc_ids: np.ndarray,
+    sources: np.ndarray,
+    lens: np.ndarray,
+    values: np.ndarray,
+    *,
+    zlib_level: int = 6,
+    try_zlib: bool = True,
+) -> tuple[bytes, bytes, str, int]:
+    """→ (header, payload, codec_name, checksum)."""
+    lens_blob = encode_simple(np.asarray(lens, dtype=np.int64))
+    docid_blob = encode_strings(np.asarray(doc_ids, dtype=object))
+    source_blob = encode_strings(np.asarray(sources, dtype=object))
+    header = (
+        _U32.pack(len(doc_ids))
+        + _U32.pack(len(lens_blob))
+        + lens_blob
+        + _U32.pack(len(docid_blob))
+        + docid_blob
+        + source_blob
+    )
+    payload = encode_best(values, zlib_level=zlib_level, try_zlib=try_zlib)
+    return header, payload, blob_codec_name(payload), crc32_of_values(values)
+
+
+def decode_page(
+    header: bytes, payload: bytes, checksum: int | None = None
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, list[np.ndarray]]:
+    """→ (doc_ids, sources, lens, token_arrays); verifies checksum if given."""
+    (n_rows,) = _U32.unpack(header[:4])
+    off = 4
+    (lb_len,) = _U32.unpack(header[off : off + 4])
+    lens = decode_blob(header[off + 4 : off + 4 + lb_len], n_rows)
+    off += 4 + lb_len
+    (db_len,) = _U32.unpack(header[off : off + 4])
+    doc_ids = decode_strings(header[off + 4 : off + 4 + db_len], n_rows)
+    off += 4 + db_len
+    sources = decode_strings(header[off:], n_rows)
+    n_values = int(lens.sum())
+    values = decode_blob(payload, n_values).astype(np.int32)
+    if checksum is not None:
+        actual = crc32_of_values(values)
+        if actual != checksum:
+            raise ValueError(f"page checksum mismatch: {actual} != {checksum}")
+    arrays = np.split(values, np.cumsum(lens)[:-1]) if n_rows else []
+    return doc_ids, sources, lens, arrays

@@ -1,0 +1,160 @@
+"""Page-boundary selection within a group — the block-splitting layer.
+
+Mirrors the reference's split-point search (SURVEY.md §2.4):
+
+* ``ZopfliBlockSplitSimple`` (fixed-size splits, reference:
+  src/zopfli/blocksplitter.c:354-363) → :func:`split_simple`.
+* ``FindMinimum`` (recursive 9-point minimum search over split position,
+  exhaustive below a threshold, reference: src/zopfli/blocksplitter.c:57-117)
+  → :func:`_find_minimum`.
+* ``ZopfliBlockSplitLZ77`` (greedily split the largest remaining block while
+  cost decreases, bounded by blocksplittingmax, reference:
+  src/zopfli/blocksplitter.c:222-306) → :func:`split_by_cost`.
+* Cost estimation uses Shannon entropy over **cumulative histograms** for
+  O(1) range-histogram queries — the chunked-cumulative-histogram idea of the
+  LZ77 store (reference: src/zopfli/lz77.c:99-150,169-214).
+* Two-phase discipline: splits are chosen on the cheap entropy estimate, the
+  final encoding picks codecs by exact size ("simple LZ77 gives better
+  blocks", reference: src/zopfli/blocksplitter.c:328-330).
+
+All functions take ``lens`` (values per row) and the flat value array; split
+points are ROW indices (a row — one doc's token array — is atomic within a
+page).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_N_BUCKETS = 256
+_PAGE_HEADER_BYTES = 96  # amortized header estimate for the cost model
+_EXHAUSTIVE_BELOW = 128
+_FIND_MINIMUM_PROBES = 9  # reference default bsr=9 (src/zopfli/util.c:33)
+
+
+def split_simple(lens: np.ndarray, page_budget: int) -> np.ndarray:
+    """Greedy fixed-budget boundaries (row indices, excludes 0 and n)."""
+    n = len(lens)
+    bounds = []
+    acc = 0
+    for i in range(n):
+        if acc >= page_budget and acc > 0:
+            bounds.append(i)
+            acc = 0
+        acc += int(lens[i])
+    return np.array(bounds, dtype=np.int64)
+
+
+class _RangeCost:
+    """O(1) entropy cost of any row-range via cumulative bucket histograms."""
+
+    def __init__(self, values: np.ndarray, lens: np.ndarray):
+        n_rows = len(lens)
+        vmin = int(values.min()) if len(values) else 0
+        vmax = int(values.max()) if len(values) else 0
+        span = max(vmax - vmin, 1)
+        shift = max(span.bit_length() - 8, 0)  # → ≤ 256 buckets
+        bucket = (values.astype(np.int64) - vmin) >> shift
+        row_of_value = np.repeat(np.arange(n_rows), lens)
+        # bincount over a fused key beats np.add.at by ~10× at page scale
+        hist = np.bincount(
+            row_of_value * _N_BUCKETS + bucket, minlength=n_rows * _N_BUCKETS
+        ).reshape(n_rows, _N_BUCKETS)
+        self.cum = np.zeros((n_rows + 1, _N_BUCKETS), dtype=np.int64)
+        np.cumsum(hist, axis=0, out=self.cum[1:])
+        self.cum_n = np.concatenate(([0], np.cumsum(lens)))
+
+    def cost_bits(self, i: int, j: int) -> float:
+        """Entropy bits of rows [i, j) + header cost — the EstimateCost
+        analog (reference src/zopfli/blocksplitter.c:129-133)."""
+        counts = self.cum[j] - self.cum[i]
+        total = self.cum_n[j] - self.cum_n[i]
+        if total == 0:
+            return _PAGE_HEADER_BYTES * 8.0
+        nz = counts[counts > 0].astype(np.float64)
+        # ZopfliCalculateEntropy formula (reference src/zopfli/tree.c:66-88)
+        h = total * np.log2(total) - float((nz * np.log2(nz)).sum())
+        return h + _PAGE_HEADER_BYTES * 8.0
+
+
+def _split_cost(rc: _RangeCost, start: int, end: int, mid: int) -> float:
+    """SplitCost analog (reference src/zopfli/blocksplitter.c:140-144)."""
+    return rc.cost_bits(start, mid) + rc.cost_bits(mid, end)
+
+
+def _find_minimum(rc: _RangeCost, start: int, end: int) -> tuple[int, float]:
+    """Recursive 9-point minimum search (reference blocksplitter.c:57-117)."""
+    lo, hi = start + 1, end  # candidate mids in [lo, hi)
+    if hi - lo <= _EXHAUSTIVE_BELOW:
+        costs = [_split_cost(rc, start, end, m) for m in range(lo, hi)]
+        k = int(np.argmin(costs))
+        return lo + k, costs[k]
+    best_m, best_c = -1, np.inf
+    while hi - lo > _FIND_MINIMUM_PROBES:
+        probes = np.linspace(lo, hi - 1, _FIND_MINIMUM_PROBES).astype(np.int64)
+        probes = np.unique(probes)
+        costs = [_split_cost(rc, start, end, int(m)) for m in probes]
+        k = int(np.argmin(costs))
+        if costs[k] < best_c:
+            best_c, best_m = costs[k], int(probes[k])
+        # narrow to the interval around the best probe
+        lo = int(probes[k - 1]) + 1 if k > 0 else lo
+        hi = int(probes[k + 1]) if k + 1 < len(probes) else hi
+    for m in range(lo, hi):
+        c = _split_cost(rc, start, end, m)
+        if c < best_c:
+            best_c, best_m = c, m
+    return best_m, best_c
+
+
+def split_by_cost(
+    values: np.ndarray,
+    lens: np.ndarray,
+    page_budget: int,
+    max_pages: int,
+) -> np.ndarray:
+    """Entropy-cost-driven boundaries: split the largest remaining block while
+    it pays, then enforce the page-size memory bound.
+
+    The greedy largest-block driver is FindLargestSplittableBlock + the
+    accept-only-if-cheaper loop (reference src/zopfli/blocksplitter.c:222-306).
+    """
+    n_rows = len(lens)
+    if n_rows <= 1:
+        return np.empty(0, dtype=np.int64)
+    rc = _RangeCost(values, lens)
+    total_values = int(rc.cum_n[-1])
+    min_pages = max(1, -(-total_values // max(page_budget, 1)))
+    bounds: list[int] = [0, n_rows]
+    done: set[tuple[int, int]] = set()
+    while len(bounds) - 1 < max(max_pages, min_pages):
+        # largest splittable block by value count
+        spans = [
+            (int(rc.cum_n[bounds[k + 1]] - rc.cum_n[bounds[k]]), k)
+            for k in range(len(bounds) - 1)
+            if bounds[k + 1] - bounds[k] > 1 and (bounds[k], bounds[k + 1]) not in done
+        ]
+        if not spans:
+            break
+        _, k = max(spans)
+        start, end = bounds[k], bounds[k + 1]
+        mid, split_c = _find_minimum(rc, start, end)
+        orig_c = rc.cost_bits(start, end)
+        block_values = int(rc.cum_n[end] - rc.cum_n[start])
+        if split_c < orig_c or block_values > page_budget:
+            bounds.insert(k + 1, mid)
+        else:
+            done.add((start, end))
+    inner = np.array(sorted(bounds[1:-1]), dtype=np.int64)
+    # memory bound: no page may exceed 2× budget (chunk leftovers greedily)
+    out: list[int] = []
+    prev = 0
+    for b in list(inner) + [n_rows]:
+        seg_vals = int(rc.cum_n[b] - rc.cum_n[prev])
+        if seg_vals > 2 * page_budget:
+            sub = split_simple(lens[prev:b], page_budget) + prev
+            out.extend(int(x) for x in sub)
+        if b != n_rows:
+            out.append(int(b))
+        prev = b
+    return np.unique(np.array(out, dtype=np.int64))

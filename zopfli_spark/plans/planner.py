@@ -1,0 +1,47 @@
+"""Partition planning: salted, size-balanced group assignment.
+
+The master-block analog (reference src/zopfli/util.h:52-61: fixed 100 MB
+units bound memory for arbitrarily large inputs; src/zopfli/deflate.c:
+1897-1955 loops over them independently). Here the unit of independent work
+is a *group*: ``group_id = xxhash64(doc_id) % num_groups`` with ``num_groups``
+sized from ``sum(n_tok)`` so the expected group holds ``group_budget_values``
+tokens.
+
+Design properties, in scale order:
+
+* **Deterministic**: group membership is a pure function of doc content and
+  the total-size aggregate — never of partition count or task order. This is
+  what makes encoded output byte-identical across cluster sizes (the seeded
+  determinism discipline of reference src/zopfli/squeeze.c:79-146).
+* **Size-balanced**: hashing distributes docs uniformly; with thousands of
+  groups the law of large numbers keeps group token-mass within a few percent.
+* **Skew-safe**: long-tail docs (n_tok ≥ giant_doc_values) are routed to a
+  separate keyspace of long-tail groups so one 10M-token doc never inflates a
+  regular group (explicit salting for heavy keys — SURVEY.md §7 hard part c).
+* **One shuffle**: the only wide exchange in the encode path is the
+  groupBy(group) feeding applyInPandas.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..config import EngineConfig
+
+GROUP_COL = "_zs_group"
+
+
+def plan_groups(df: DataFrame, config: EngineConfig) -> tuple[DataFrame, int]:
+    """Attach the deterministic group id column. Returns (df, num_groups)."""
+    agg = df.select(
+        F.sum(F.coalesce(F.col("n_tok"), F.lit(0))).alias("total"),
+    ).collect()[0]
+    total = int(agg["total"] or 0)
+    num_groups = max(1, -(-total // config.group_budget_values))
+    is_giant = F.col("n_tok") >= F.lit(config.giant_doc_values)
+    h = F.xxhash64(F.col("doc_id"), F.lit(config.seed))
+    regular = F.pmod(h, F.lit(num_groups))
+    # long-tail keyspace: ids in [num_groups, 2*num_groups)
+    giant = F.lit(num_groups) + F.pmod(h, F.lit(num_groups))
+    out = df.withColumn(GROUP_COL, F.when(is_giant, giant).otherwise(regular).cast("int"))
+    return out, num_groups
