@@ -59,10 +59,10 @@ def test_encode_simple_roundtrip(name):
 def test_expected_codec_choices():
     assert blob_codec_name(encode_best(CASES["constant"])) == "constant"
     assert blob_codec_name(encode_best(CASES["ascending"])) == "delta_bitpack"
-    assert blob_codec_name(encode_best(CASES["narrow_range"])) in ("for_bitpack", "for_zlib", "zlib")
-    assert blob_codec_name(encode_best(CASES["run_heavy"])) in ("rle", "dict_rle", "zlib", "for_zlib")
+    assert blob_codec_name(encode_best(CASES["narrow_range"])) in ("for_bitpack", "plane_zlib")
+    assert blob_codec_name(encode_best(CASES["run_heavy"])) in ("rle", "dict_rle", "plane_zlib")
     big_zipf = np.minimum(RNG.zipf(1.5, 20000), 2**17).astype(np.int64)
-    assert blob_codec_name(encode_best(big_zipf)) in ("dict", "dict_rle", "zlib", "for_zlib")
+    assert blob_codec_name(encode_best(big_zipf)) in ("dict", "dict_rle", "plane_zlib")
 
 
 def test_compression_actually_compresses():

@@ -53,6 +53,7 @@ RLE = 5
 DICT = 6
 ZLIB = 7
 FOR_ZLIB = 8
+PLANE_ZLIB = 9
 
 CODEC_NAMES = {
     PLAIN: "plain",
@@ -64,6 +65,7 @@ CODEC_NAMES = {
     DICT: "dict",
     ZLIB: "zlib",
     FOR_ZLIB: "for_zlib",
+    PLANE_ZLIB: "plane_zlib",
 }
 
 _I64 = struct.Struct("<q")
@@ -120,6 +122,24 @@ def _enc_zlib(v: np.ndarray, level: int) -> bytes:
 def _enc_for_zlib(v: np.ndarray, base: int, width: int, level: int) -> bytes:
     resid = (v - base).astype(np.uint64)
     return bytes([FOR_ZLIB]) + _I64.pack(int(base)) + bytes([width]) + zlib.compress(pack_bits(resid, width), level)
+
+
+def _enc_plane_zlib(v: np.ndarray, base: int, width: int, level: int) -> bytes:
+    """Frame-of-reference, then split residuals into byte planes and DEFLATE
+    each plane. The platform DEFLATE (zlib) is the entropy-coding backend —
+    the same format family the reference emits (RFC 1951); our cost model
+    decides when it runs, like AddLZ77BlockAutoType decides stored vs huffman
+    (reference src/zopfli/deflate.c:1071-1131). Byte-plane splitting keeps
+    each plane's symbol distribution tight, which DEFLATE's per-byte Huffman
+    exploits far better than 4-byte-wide little-endian words."""
+    resid = (v - base).astype(np.uint32)
+    n_planes = max(1, (width + 7) // 8)
+    parts = [bytes([PLANE_ZLIB]) + _I64.pack(int(base)) + bytes([n_planes])]
+    for k in range(n_planes):
+        plane = ((resid >> np.uint32(8 * k)) & np.uint32(0xFF)).astype(np.uint8)
+        z = zlib.compress(plane.tobytes(), level)
+        parts.append(_U32.pack(len(z)) + z)
+    return b"".join(parts)
 
 
 def _size_packed(n: int, width: int) -> int:
@@ -275,24 +295,21 @@ def encode_best(
                 candidates.append(blob)
                 best_size = len(blob)
 
-    # --- zlib fallbacks (entropy-gated) --------------------------------------
-    if try_zlib and ok(ZLIB) and n >= 64:
-        # entropy lower bound on zlib's best case — skip if it cannot win
-        # (GetCostModelMinCost analog, reference src/zopfli/squeeze.c:201-236)
+    # --- entropy-coded fallback (gated) ---------------------------------------
+    if try_zlib and ok(PLANE_ZLIB) and n >= 64:
+        # run DEFLATE only when the bitpack-family best is still far above the
+        # order-0 entropy bound — i.e. distributional structure remains that
+        # only an entropy coder can exploit. Lower-bound pruning discipline of
+        # GetCostModelMinCost (reference src/zopfli/squeeze.c:201-236).
         if uniq is None:
             uniq, inverse = np.unique(v, return_inverse=True)
         counts = np.bincount(inverse)
         h_bytes = _entropy_bits(counts) / 8.0
-        if h_bytes * 0.5 < best_size:  # generous: zlib can beat entropy via LZ77 runs
-            z = _enc_zlib(v, zlib_level)
-            if len(z) < best_size:
-                candidates.append(z)
-                best_size = len(z)
-            if ok(FOR_ZLIB):
-                fz = _enc_for_zlib(v, vmin, w_for, zlib_level)
-                if len(fz) < best_size:
-                    candidates.append(fz)
-                    best_size = len(fz)
+        if best_size > h_bytes * 1.1:
+            pz = _enc_plane_zlib(v, vmin, w_for, zlib_level)
+            if len(pz) < best_size:
+                candidates.append(pz)
+                best_size = len(pz)
 
     if not candidates or best_size >= plain_size:
         return _enc_plain(v)
@@ -352,6 +369,17 @@ def decode_blob(buf: bytes, n: int) -> np.ndarray:
         width = body[8]
         packed = zlib.decompress(bytes(body[9:]))
         return unpack_bits(packed, n, width).astype(np.int64) + base
+    if tag == PLANE_ZLIB:
+        (base,) = _I64.unpack(body[:8])
+        n_planes = body[8]
+        off = 9
+        resid = np.zeros(n, dtype=np.uint32)
+        for k in range(n_planes):
+            (z_len,) = _U32.unpack(body[off : off + 4])
+            plane = np.frombuffer(zlib.decompress(bytes(body[off + 4 : off + 4 + z_len])), dtype=np.uint8)
+            resid |= plane.astype(np.uint32) << np.uint32(8 * k)
+            off += 4 + z_len
+        return resid.astype(np.int64) + base
     raise ValueError(f"unknown codec tag {tag}")
 
 
