@@ -1,0 +1,194 @@
+#!/usr/bin/env python
+"""Benchmark harness. Prints ONE JSON line:
+
+  {"metric": ..., "value": <sec>, "unit": "sec", "queries": {...}, "sf": ...,
+   "encode_tokens_per_sec": ..., "ratio": ..., "scaling": {...}}
+
+Measures, at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS]:
+  * encode_synth / decode_synth — the engine over the deterministic synthetic
+    tokens table (FIXTURES.md mixture) sized ~3M tokens per 0.01 sf
+  * roundtrip_lineitem — full encode→decode→aggregate over lineitem-derived docs
+  * doc_stats / exact_dedup — relational surface queries
+
+Scaling evidence (north rule: efficiency ≥ 0.8 from N to 4N executors): the
+same encode job runs in two fresh subprocesses at local[N] and local[4N] on
+identical input; efficiency = (thr_4N / thr_N) / 4. See BENCH.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+
+def _mk_spark(cores: int, shuffle_partitions: int | None = None):
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{cores}]")
+        .appName(f"zopfli_spark_bench_{cores}")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or max(cores * 2, 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+    )
+
+
+def _bench_config(n_docs: int, cpus: int):
+    """Group budget sized so every core gets ≥ ~6 groups — the same knob a
+    real cluster run sets. Must be identical across the two scaling runs so
+    their outputs stay byte-identical (config is part of the content key)."""
+    from zopfli_spark import EngineConfig
+
+    est_tokens = n_docs * 1600  # measured synth average incl. long tail
+    group_budget = max(1 << 18, min(1 << 22, est_tokens // (cpus * 6)))
+    return EngineConfig(
+        group_budget_values=group_budget,
+        giant_doc_values=max(group_budget // 2, 1 << 17),
+        page_budget_values=min(1 << 20, group_budget),
+    )
+
+
+def _encode_job(spark, n_docs: int, seed: int = 42, cfg=None) -> dict:
+    """Materialize synth input, then time encode only (the engine under test)."""
+    from pyspark.sql import functions as F
+
+    from zopfli_spark import EngineConfig, encode_table
+    from zopfli_spark.datagen import synth_tokens_df
+
+    cfg = cfg or EngineConfig()
+    df = synth_tokens_df(spark, n_docs, seed=seed).cache()
+    total_tokens = int(df.agg(F.sum("n_tok")).collect()[0][0])
+    t0 = time.perf_counter()
+    pages = encode_table(df, cfg)
+    agg = pages.agg(
+        F.sum("enc_bytes").alias("e"), F.sum("raw_bytes").alias("r"), F.count("*").alias("p")
+    ).collect()[0]
+    wall = time.perf_counter() - t0
+    df.unpersist()
+    return {
+        "wall": wall,
+        "tokens": total_tokens,
+        "tokens_per_sec": total_tokens / wall,
+        "enc_bytes": int(agg["e"]),
+        "raw_bytes": int(agg["r"]),
+        "pages": int(agg["p"]),
+    }
+
+
+def scaling_worker(cores: int, n_docs: int, seed: int, cfg_cpus: int) -> None:
+    spark = _mk_spark(cores)
+    spark.sparkContext.setLogLevel("ERROR")
+    out = _encode_job(spark, n_docs, seed, cfg=_bench_config(n_docs, cfg_cpus))
+    out["cores"] = cores
+    print("WORKER_JSON:" + json.dumps(out))
+    spark.stop()
+
+
+def _run_scaling(n_docs: int, lo: int, hi: int) -> dict:
+    res = {}
+    for cores in (lo, hi):
+        p = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--scaling-worker", str(cores), str(n_docs), "42", str(hi)],
+            capture_output=True,
+            text=True,
+            timeout=1200,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        line = [l for l in p.stdout.splitlines() if l.startswith("WORKER_JSON:")]
+        if not line:
+            raise RuntimeError(f"scaling worker {cores} failed: {p.stderr[-2000:]}")
+        res[cores] = json.loads(line[-1][len("WORKER_JSON:") :])
+    eff = (res[hi]["tokens_per_sec"] / res[lo]["tokens_per_sec"]) / (hi / lo)
+    return {
+        "cores_lo": lo,
+        "cores_hi": hi,
+        "tokens_per_sec_lo": res[lo]["tokens_per_sec"],
+        "tokens_per_sec_hi": res[hi]["tokens_per_sec"],
+        "wall_lo_sec": res[lo]["wall"],
+        "wall_hi_sec": res[hi]["wall"],
+        "tokens": res[lo]["tokens"],
+        "efficiency": eff,
+    }
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else 0.1
+    # ~3M tokens per 0.01 sf (avg ~1.4k tokens/doc incl. long tail)
+    n_docs = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", str(max(2000, int(sf * 2_200_000)))))
+
+    import __spark_entry__ as entry_mod
+
+    spark = _mk_spark(cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    queries: dict[str, float] = {}
+    t_all = time.perf_counter()
+
+    bench_cfg = _bench_config(n_docs, cpus)
+    enc = _encode_job(spark, n_docs, cfg=bench_cfg)
+    queries["encode_synth"] = round(enc["wall"], 3)
+
+    # decode timing over cached pages
+    from pyspark.sql import functions as F
+
+    from zopfli_spark import EngineConfig, decode_table, encode_table
+    from zopfli_spark.datagen import synth_tokens_df
+
+    cfg = bench_cfg
+    df = synth_tokens_df(spark, n_docs).cache()
+    df.count()
+    pages = encode_table(df, cfg).cache()
+    pages.count()
+    t0 = time.perf_counter()
+    decode_table(pages, cfg).agg(F.sum("n_tok")).collect()
+    queries["decode_synth"] = round(time.perf_counter() - t0, 3)
+    pages.unpersist()
+    df.unpersist()
+
+    for qname in ("roundtrip_lineitem", "doc_stats", "exact_dedup"):
+        q = entry_mod.queries()[qname]
+        t0 = time.perf_counter()
+        q(spark, sf_dir).collect()
+        queries[qname] = round(time.perf_counter() - t0, 3)
+
+    spark.stop()
+
+    lo = max(cpus // 4, 1)
+    scaling = _run_scaling(n_docs, lo, cpus)
+
+    total = time.perf_counter() - t_all
+    print(
+        json.dumps(
+            {
+                "metric": "bench_total_wall",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": queries,
+                "sf": sf,
+                "n_docs": n_docs,
+                "tokens": enc["tokens"],
+                "encode_tokens_per_sec": round(enc["tokens_per_sec"]),
+                "compression_ratio": round(enc["raw_bytes"] / enc["enc_bytes"], 3),
+                "pages": enc["pages"],
+                "scaling": {k: (round(v, 4) if isinstance(v, float) else v) for k, v in scaling.items()},
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    if len(sys.argv) >= 2 and sys.argv[1] == "--scaling-worker":
+        scaling_worker(int(sys.argv[2]), int(sys.argv[3]), int(sys.argv[4]), int(sys.argv[5]))
+    else:
+        main()

@@ -204,6 +204,59 @@ def _entropy_bits(counts: np.ndarray) -> float:
     return float(total * np.log2(total) - (nz * np.log2(nz)).sum())
 
 
+def _build_rle(v: np.ndarray, run_vals: np.ndarray, run_lens: np.ndarray) -> bytes:
+    vb = encode_simple(run_vals)
+    lenb = encode_simple(run_lens)
+    return bytes([RLE]) + _U32.pack(len(run_vals)) + _U32.pack(len(vb)) + vb + lenb
+
+
+def _build_dict(v: np.ndarray, uniq: np.ndarray, inverse: np.ndarray) -> bytes:
+    card = len(uniq)
+    w_idx = bit_width(card - 1)
+    dict_blob = encode_simple(uniq)
+    inv = inverse.astype(np.int64)
+    idx_blob = _enc_bitpack(inv.astype(np.uint64), w_idx)
+    r_v, r_l = _run_lengths(inv)
+    if len(r_v) <= len(inv) // 2:
+        r_blob = _build_rle(inv, r_v, r_l)
+        if len(r_blob) < len(idx_blob):
+            idx_blob = r_blob
+    return bytes([DICT]) + _U32.pack(card) + _U32.pack(len(dict_blob)) + dict_blob + idx_blob
+
+
+def encode_forced(v: np.ndarray, codec_name: str, *, zlib_level: int = 6) -> bytes:
+    """Re-encode with a previously recorded winning codec — the lineage resume
+    fast path (StatsDB hit, reference src/zopfli/deflate.c:1177-1211): skips
+    the candidate search entirely and reproduces the original bytes, because
+    every builder is deterministic in (values, codec, level)."""
+    v = _as_i64(v)
+    n = len(v)
+    if n == 0 or codec_name == "plain":
+        return _enc_plain(v)
+    vmin, vmax = int(v.min()), int(v.max())
+    if codec_name == "constant":
+        return _enc_constant(vmin)
+    w_for = bit_width(vmax - vmin)
+    if codec_name == "for_bitpack":
+        return _enc_for(v, vmin, w_for)
+    if codec_name == "delta_bitpack":
+        zz = zigzag_encode(np.diff(v))
+        return _enc_delta(v, zz, bit_width(int(zz.max())) if n > 1 else 0)
+    if codec_name == "rle":
+        rv, rl = _run_lengths(v)
+        return _build_rle(v, rv, rl)
+    if codec_name in ("dict", "dict_rle"):
+        uniq, inverse = np.unique(v, return_inverse=True)
+        return _build_dict(v, uniq, inverse)
+    if codec_name == "plane_zlib":
+        return _enc_plane_zlib(v, vmin, w_for, zlib_level)
+    if codec_name == "zlib":
+        return _enc_zlib(v, zlib_level)
+    if codec_name == "for_zlib":
+        return _enc_for_zlib(v, vmin, w_for, zlib_level)
+    raise ValueError(f"unknown codec name {codec_name!r}")
+
+
 def encode_best(
     v: np.ndarray,
     *,
@@ -257,14 +310,10 @@ def encode_best(
         # lower bound: each run ≥ (w_for + 1 bit) — prune hopeless cases
         lb = 1 + 8 + (n_runs * (w_for + 1) + 7) // 8
         if lb < best_size:
-            vb = encode_simple(run_vals)
-            lb2 = 1 + 4 + 4 + len(vb) + 2  # +min lengths blob
-            if lb2 < best_size:
-                lenb = encode_simple(run_lens)
-                blob = bytes([RLE]) + _U32.pack(n_runs) + _U32.pack(len(vb)) + vb + lenb
-                if len(blob) < best_size:
-                    candidates.append(blob)
-                    best_size = len(blob)
+            blob = _build_rle(v, run_vals, run_lens)
+            if len(blob) < best_size:
+                candidates.append(blob)
+                best_size = len(blob)
 
     # --- dictionary ----------------------------------------------------------
     uniq, inverse = None, None
@@ -274,23 +323,7 @@ def encode_best(
         w_idx = bit_width(card - 1)
         lb = 1 + 4 + 4 + (card * 2 + n * w_idx + 7) // 8
         if card >= 2 and w_idx < 32 and lb < best_size:
-            dict_blob = encode_simple(uniq)  # sorted unique → DELTA shines
-            inv = inverse.astype(np.int64)
-            # indices: bitpack vs RLE-of-indices (dict+rle composite)
-            idx_bp = _enc_bitpack(inv.astype(np.uint64), w_idx)
-            idx_blob = idx_bp
-            r_v, r_l = _run_lengths(inv)
-            if len(r_v) <= n // 2:
-                r_blob = (
-                    bytes([RLE])
-                    + _U32.pack(len(r_v))
-                    + _U32.pack(len(b1 := encode_simple(r_v)))
-                    + b1
-                    + encode_simple(r_l)
-                )
-                if len(r_blob) < len(idx_blob):
-                    idx_blob = r_blob
-            blob = bytes([DICT]) + _U32.pack(card) + _U32.pack(len(dict_blob)) + dict_blob + idx_blob
+            blob = _build_dict(v, uniq, inverse)
             if len(blob) < best_size:
                 candidates.append(blob)
                 best_size = len(blob)

