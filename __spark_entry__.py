@@ -166,6 +166,90 @@ def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from zopfli_spark.functions.text import token_stats
+
+    return token_stats(_read(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from zopfli_spark.functions.text import quality_score
+
+    return quality_score(_read(spark, sf_dir, "documents")).select(
+        "doc_id", "quality_x1000"
+    ).orderBy("doc_id")
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from zopfli_spark.functions.text import lang_id
+
+    return lang_id(_read(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+def q_ngram_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from zopfli_spark.functions.text import ngram_jaccard_pairs
+
+    docs = _read(spark, sf_dir, "documents")
+    return (
+        ngram_jaccard_pairs(docs, k=8, threshold=0.15, bucket_cols=("lang",))
+        .select(
+            F.col("id_a").cast("bigint").alias("id_a"),
+            F.col("id_b").cast("bigint").alias("id_b"),
+            F.col("common").cast("bigint").alias("common"),
+            F.col("n_a").cast("bigint").alias("n_a"),
+            F.col("n_b").cast("bigint").alias("n_b"),
+        )
+        .orderBy("id_a", "id_b")
+    )
+
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from zopfli_spark.functions.similarity import brute_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 20)
+    return brute_topk(queries_df, emb, k=3).select(
+        F.col("query_id").cast("bigint"),
+        F.col("rank").cast("bigint"),
+        F.col("neighbor_id").cast("bigint"),
+        F.col("qdot").cast("bigint"),
+    ).orderBy("query_id", "rank")
+
+
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidates with estimated Jaccard (xxhash64-based
+    — engine-specific hash, so rows-only driver check; recall is asserted
+    against exact Jaccard in tests/test_text.py)."""
+    from zopfli_spark.functions.text import (
+        lsh_candidate_pairs,
+        minhash_jaccard_estimate,
+        minhash_signatures,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs, k=8, n_hashes=32).cache()
+    pairs = lsh_candidate_pairs(sigs, n_hashes=32, bands=8)
+    return minhash_jaccard_estimate(sigs, pairs, n_hashes=32).orderBy("id_a", "id_b")
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash per doc (xxhash64-based — rows-only driver check)."""
+    from zopfli_spark.functions.text import simhash64
+
+    return simhash64(_read(spark, sf_dir, "documents"), k=4).orderBy("doc_id")
+
+
+def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH approximate top-k (scale path; rows-only check — recall
+    vs brute force is asserted in tests/test_similarity.py)."""
+    from zopfli_spark.functions.similarity import lsh_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    return lsh_topk(emb.filter(F.col("vec_id") < 20), emb, k=3, dim=64).orderBy(
+        "query_id", "rank"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "roundtrip_lineitem": q_roundtrip_lineitem,
@@ -176,6 +260,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "partition_plan": q_partition_plan,
         "doc_stats": q_doc_stats,
         "exact_dedup": q_exact_dedup,
+        "token_stats": q_token_stats,
+        "quality_score": q_quality_score,
+        "lang_id": q_lang_id,
+        "ngram_near_dup": q_ngram_near_dup,
+        "ann_topk": q_ann_topk,
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "simhash": q_simhash,
+        "lsh_ann_topk": q_lsh_ann_topk,
     }
 
 
@@ -226,6 +318,94 @@ def oracle_sql() -> dict[str, str]:
                    CAST(min(doc_id) AS BIGINT) AS keep_doc_id
             FROM documents GROUP BY md5(text)
             HAVING count(*) >= 1 ORDER BY content_md5
+        """,
+        "token_stats": """
+            SELECT doc_id,
+                   CAST(length(text) AS BIGINT) AS n_chars2,
+                   CAST(len(regexp_split_to_array(trim(text), ' +')) AS BIGINT) AS n_ws_tokens,
+                   CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS BIGINT) AS n_punct,
+                   CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS n_digits,
+                   CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT) AS n_spaces
+            FROM documents ORDER BY doc_id
+        """,
+        "quality_score": """
+            WITH s AS (
+              SELECT doc_id,
+                     length(text) AS n_chars2,
+                     length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct,
+                     length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digits
+              FROM documents)
+            SELECT doc_id,
+                   CAST(floor(1000
+                     - least(400, n_punct * 2000 / greatest(n_chars2, 1))
+                     - least(300, n_digits * 1500 / greatest(n_chars2, 1))
+                     - CASE WHEN n_chars2 < 64 THEN 300 ELSE 0 END) AS BIGINT) AS quality_x1000
+            FROM s ORDER BY doc_id
+        """,
+        "lang_id": """
+            WITH t AS (SELECT doc_id, ' ' || lower(text) || ' ' AS tx FROM documents),
+            f AS (
+              SELECT doc_id,
+                CAST(floor((length(tx) - length(replace(tx, ' the ', ''))) / 5.0
+                         + (length(tx) - length(replace(tx, ' and ', ''))) / 5.0) AS BIGINT) AS n_en,
+                CAST(floor((length(tx) - length(replace(tx, ' der ', ''))) / 5.0
+                         + (length(tx) - length(replace(tx, ' und ', ''))) / 5.0) AS BIGINT) AS n_de,
+                CAST(floor((length(tx) - length(replace(tx, ' le ', ''))) / 4.0
+                         + (length(tx) - length(replace(tx, ' et ', ''))) / 4.0) AS BIGINT) AS n_fr,
+                CAST(floor((length(tx) - length(replace(tx, ' el ', ''))) / 4.0
+                         + (length(tx) - length(replace(tx, ' que ', ''))) / 5.0) AS BIGINT) AS n_es
+              FROM t)
+            SELECT doc_id, n_en, n_de, n_fr, n_es,
+                   CASE WHEN greatest(n_en, n_de, n_fr, n_es) <= 0 THEN 'unknown'
+                        WHEN n_en = greatest(n_en, n_de, n_fr, n_es) THEN 'en'
+                        WHEN n_de = greatest(n_en, n_de, n_fr, n_es) THEN 'de'
+                        WHEN n_fr = greatest(n_en, n_de, n_fr, n_es) THEN 'fr'
+                        ELSE 'es' END AS pred_lang
+            FROM f ORDER BY doc_id
+        """,
+        "ngram_near_dup": """
+            WITH sh AS (
+              SELECT DISTINCT d.doc_id, d.lang, substring(d.text, gs.i, 8) AS shingle
+              FROM documents d,
+                   LATERAL (SELECT unnest(generate_series(1, greatest(length(d.text) - 7, 0)))) AS gs(i)
+            ),
+            sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+            common AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+              FROM sh a JOIN sh b
+                ON a.shingle = b.shingle AND a.lang = b.lang AND a.doc_id < b.doc_id
+              GROUP BY a.doc_id, b.doc_id)
+            SELECT CAST(c.id_a AS BIGINT) AS id_a, CAST(c.id_b AS BIGINT) AS id_b,
+                   CAST(c.common AS BIGINT) AS common,
+                   CAST(sa.n_sh AS BIGINT) AS n_a, CAST(sb.n_sh AS BIGINT) AS n_b
+            FROM common c
+            JOIN sizes sa ON sa.doc_id = c.id_a
+            JOIN sizes sb ON sb.doc_id = c.id_b
+            WHERE c.common * 1.0 / (sa.n_sh + sb.n_sh - c.common) >= 0.15
+            ORDER BY id_a, id_b
+        """,
+        "ann_topk": """
+            WITH q AS (
+              SELECT vec_id AS query_id,
+                     list_transform(embedding, x -> CAST(round(x * 1000) AS INT)) AS qv
+              FROM embeddings WHERE vec_id < 20),
+            c AS (
+              SELECT vec_id AS neighbor_id,
+                     list_transform(embedding, x -> CAST(round(x * 1000) AS INT)) AS cv
+              FROM embeddings),
+            scored AS (
+              SELECT q.query_id, c.neighbor_id,
+                     CAST(list_sum(list_transform(generate_series(1, len(q.qv)),
+                          i -> CAST(q.qv[i] AS BIGINT) * cv[i])) AS BIGINT) AS qdot
+              FROM q, c WHERE q.query_id != c.neighbor_id),
+            ranked AS (
+              SELECT query_id, neighbor_id, qdot,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY qdot DESC, neighbor_id ASC) AS rank
+              FROM scored)
+            SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS BIGINT) AS rank,
+                   CAST(neighbor_id AS BIGINT) AS neighbor_id, qdot
+            FROM ranked WHERE rank <= 3 ORDER BY query_id, rank
         """,
     }
 

@@ -22,6 +22,7 @@ from collections.abc import Iterator
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from pyspark.sql import DataFrame, functions as F
 
@@ -31,6 +32,7 @@ from .lineage import group_content_hash, lineage_dict, struct_plan_to_pages
 from .operators.pagecodec import decode_page, encode_page
 from .pages import split_by_cost, split_simple
 from .plans.planner import GROUP_COL, plan_groups
+from .squeeze import merge_pass, refine_boundaries
 
 PAGES_SCHEMA = (
     "part_id int, page_id int, codec string, n_rows int, n_values long, "
@@ -90,7 +92,7 @@ def _encode_group(tbl: pa.Table, config: EngineConfig, lin: dict | None = None) 
     """Encode one group → page rows. Pure function of group content (sorted
     by doc_id), so output is identical at any parallelism — the seeded
     determinism discipline of reference src/zopfli/squeeze.c:79-146."""
-    order = pa.compute.sort_indices(tbl, sort_keys=[("doc_id", "ascending")])
+    order = pc.sort_indices(tbl, sort_keys=[("doc_id", "ascending")])
     tbl = tbl.take(order)
     part_id = int(tbl.column(GROUP_COL)[0].as_py())
     doc_ids = np.asarray(tbl.column("doc_id").to_pylist(), dtype=object)
@@ -118,20 +120,65 @@ def _encode_group(tbl: pa.Table, config: EngineConfig, lin: dict | None = None) 
             bounds = split_simple(lens, config.page_budget_values)
         row_bounds = np.unique(np.concatenate(([0], bounds, [len(lens)]))).astype(np.int64)
     val_offsets = np.concatenate(([0], np.cumsum(lens)))
-    cols: dict[str, list] = {f.name: [] for f in _PAGES_ARROW}
-    for page_id in range(len(row_bounds) - 1):
-        r0, r1 = int(row_bounds[page_id]), int(row_bounds[page_id + 1])
+    t_enc0 = time.perf_counter()
+
+    def encode_rows(r0: int, r1: int, forced: str | None = None):
         v0, v1 = int(val_offsets[r0]), int(val_offsets[r1])
-        p0 = time.perf_counter()
-        header, payload, codec, checksum = encode_page(
+        return encode_page(
             doc_ids[r0:r1],
             sources[r0:r1],
             lens[r0:r1],
             values[v0:v1],
             zlib_level=config.zlib_level,
             try_zlib=config.try_zlib,
-            forced_codec=forced_codecs[page_id] if forced_codecs else None,
+            forced_codec=forced,
         )
+
+    pages = [
+        encode_rows(
+            int(row_bounds[k]),
+            int(row_bounds[k + 1]),
+            forced_codecs[k] if forced_codecs else None,
+        )
+        for k in range(len(row_bounds) - 1)
+    ]
+    refine_worthwhile = False
+    if forced_codecs is None and len(pages) >= 3:
+        sizes = np.array([len(h) + len(p) for h, p, _, _ in pages], dtype=np.float64)
+        nv = np.maximum(np.diff(val_offsets[row_bounds]), 1)
+        bpv = sizes / nv
+        # deep search only where the cheap pass left an outlier page — the
+        # cost-gated deep-search discipline (reference src/zopfli/deflate.c:
+        # 917-934: the expensive fixed-tree re-parse runs only on small or
+        # ambiguous blocks)
+        refine_worthwhile = float(np.max(bpv)) > 1.2 * float(np.median(bpv))
+    if forced_codecs is None and refine_worthwhile:
+        # squeeze loop: seeded perturb-and-keep-best boundary refinement +
+        # keep-if-smaller merge pass (reference src/zopfli/squeeze.c:511-655,
+        # deflate.c:1728-1836)
+        row_bounds, pages, _ = refine_boundaries(
+            row_bounds,
+            pages,
+            val_offsets,
+            encode_rows,
+            iterations=config.iterations,
+            max_unsuccessful=config.max_unsuccessful,
+            seed_key=(config.seed, content_hash & 0x7FFFFFFFFFFFFFFF),
+        )
+    if forced_codecs is None:
+        row_bounds, pages, _ = merge_pass(
+            row_bounds,
+            pages,
+            val_offsets,
+            encode_rows,
+            page_budget_values=config.page_budget_values,
+        )
+    enc_us_total = int((time.perf_counter() - t_enc0) * 1e6)
+    total_values = max(int(val_offsets[-1]), 1)
+    cols: dict[str, list] = {f.name: [] for f in _PAGES_ARROW}
+    for page_id, (header, payload, codec, checksum) in enumerate(pages):
+        r0, r1 = int(row_bounds[page_id]), int(row_bounds[page_id + 1])
+        v0, v1 = int(val_offsets[r0]), int(val_offsets[r1])
         cols["part_id"].append(part_id)
         cols["page_id"].append(page_id)
         cols["codec"].append(codec)
@@ -142,7 +189,8 @@ def _encode_group(tbl: pa.Table, config: EngineConfig, lin: dict | None = None) 
         cols["raw_bytes"].append(4 * (v1 - v0))
         cols["enc_bytes"].append(len(header) + len(payload))
         cols["checksum"].append(checksum)
-        cols["enc_us"].append(int((time.perf_counter() - p0) * 1e6))
+        # wall µs attributed by value share (search cost is group-level)
+        cols["enc_us"].append(int(enc_us_total * (v1 - v0) / total_values))
         cols["content_hash_group"].append(content_hash)
         cols["resumed"].append(1 if forced_codecs else 0)
         cols["header"].append(header)

@@ -1,0 +1,137 @@
+"""Squeeze-loop analog: iterative boundary refinement with exact re-costing.
+
+The reference's core optimization loop (``ZopfliLZ77Optimal``, reference
+src/zopfli/squeeze.c:511-655) iterates parse → measure true cost → keep best,
+perturbing the cost statistics with a *seeded* RNG after stabilization
+(squeeze.c:579-628) and stopping after ``--mui`` non-improving iterations
+(squeeze.c:609). Here the search space is page boundaries instead of LZ77
+parses:
+
+* each iteration proposes moving ONE boundary — the one adjacent to the
+  worst-compressing page (FindLargestSplittableBlock targeting, reference
+  src/zopfli/blocksplitter.c:222-240),
+* the proposal's two affected pages are re-encoded EXACTLY (measure, don't
+  guess — ZopfliCalculateBlockSize discipline, deflate.c:877-906),
+* kept only if total bytes shrink (keep-if-smaller recompression-pass
+  discipline, deflate.c:1728-1836),
+* proposals are drawn from ``PCG64([seed, content_hash])`` so re-runs and
+  runs at any parallelism produce identical streams (the MWC/CMWC seeded-RNG
+  determinism of squeeze.c:79-146),
+* a final pass merges adjacent pages when the merged encoding is smaller
+  (header-cost amortization — the reason EncodeTree exists, deflate.c:118-293).
+
+All candidate encodes are page-local numpy; cost is exact encoded bytes.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+import numpy as np
+
+# encode_fn(r0, r1) -> (header, payload, codec, checksum)
+EncodeFn = Callable[[int, int], tuple[bytes, bytes, str, int]]
+
+
+def _page_sizes(pages: list[tuple[bytes, bytes, str, int]]) -> np.ndarray:
+    return np.array([len(h) + len(p) for h, p, _, _ in pages], dtype=np.int64)
+
+
+def refine_boundaries(
+    row_bounds: np.ndarray,
+    pages: list[tuple[bytes, bytes, str, int]],
+    val_offsets: np.ndarray,
+    encode_fn: EncodeFn,
+    *,
+    iterations: int,
+    max_unsuccessful: int,
+    seed_key: tuple[int, ...],
+    min_page_rows: int = 1,
+) -> tuple[np.ndarray, list[tuple[bytes, bytes, str, int]], int]:
+    """Refine page boundaries in place; returns (bounds, pages, n_improved)."""
+    if iterations <= 0 or len(row_bounds) < 3:
+        return row_bounds, pages, 0
+    rng = np.random.Generator(np.random.PCG64(list(seed_key)))
+    bounds = row_bounds.copy()
+    sizes = _page_sizes(pages)
+    unsuccessful = 0
+    improved = 0
+    for _ in range(iterations):
+        if unsuccessful >= max_unsuccessful:
+            break
+        # target: boundary adjacent to the worst page (highest bytes/value)
+        nv = np.maximum(np.diff(val_offsets[bounds]), 1)
+        bpv = sizes / nv
+        worst = int(np.argmax(bpv))
+        # choose the boundary between worst and a neighbor (seeded choice)
+        if worst == 0:
+            b_idx = 1
+        elif worst == len(sizes) - 1:
+            b_idx = len(sizes) - 1
+        else:
+            b_idx = worst + int(rng.integers(0, 2))
+        lo, hi = int(bounds[b_idx - 1]), int(bounds[b_idx + 1])
+        cur = int(bounds[b_idx])
+        if hi - lo <= 2 * min_page_rows:
+            unsuccessful += 1
+            continue
+        # seeded jitter proposal within the open interval
+        span = hi - lo
+        delta = int(rng.integers(1, max(2, span // 4)))
+        cand = cur + delta if rng.integers(0, 2) else cur - delta
+        cand = int(np.clip(cand, lo + min_page_rows, hi - min_page_rows))
+        if cand == cur:
+            unsuccessful += 1
+            continue
+        left = encode_fn(lo, cand)
+        right = encode_fn(cand, hi)
+        new_total = len(left[0]) + len(left[1]) + len(right[0]) + len(right[1])
+        old_total = int(sizes[b_idx - 1] + sizes[b_idx])
+        if new_total < old_total:
+            bounds[b_idx] = cand
+            pages[b_idx - 1] = left
+            pages[b_idx] = right
+            sizes[b_idx - 1] = len(left[0]) + len(left[1])
+            sizes[b_idx] = len(right[0]) + len(right[1])
+            unsuccessful = 0
+            improved += 1
+        else:
+            unsuccessful += 1
+    return bounds, pages, improved
+
+
+def merge_pass(
+    row_bounds: np.ndarray,
+    pages: list[tuple[bytes, bytes, str, int]],
+    val_offsets: np.ndarray,
+    encode_fn: EncodeFn,
+    *,
+    page_budget_values: int,
+) -> tuple[np.ndarray, list[tuple[bytes, bytes, str, int]], int]:
+    """Merge adjacent pages when the merged encoding is strictly smaller.
+
+    Only pairs whose combined value count stays within the page budget are
+    tried (memory bound), and only when both are small enough that header
+    amortization can plausibly win — lower-bound gating in the
+    GetCostModelMinCost spirit (reference src/zopfli/squeeze.c:201-236)."""
+    if len(pages) < 2:
+        return row_bounds, pages, 0
+    bounds = list(int(b) for b in row_bounds)
+    merged = 0
+    i = 0
+    while i + 1 < len(pages):
+        lo, mid, hi = bounds[i], bounds[i + 1], bounds[i + 2]
+        nv = int(val_offsets[hi] - val_offsets[lo])
+        a, b = pages[i], pages[i + 1]
+        size_a = len(a[0]) + len(a[1])
+        size_b = len(b[0]) + len(b[1])
+        if nv <= page_budget_values and min(size_a, size_b) < 4096:
+            cand = encode_fn(lo, hi)
+            if len(cand[0]) + len(cand[1]) < size_a + size_b:
+                pages[i] = cand
+                del pages[i + 1]
+                del bounds[i + 1]
+                merged += 1
+                continue  # retry same i against the next neighbor
+        i += 1
+    return np.array(bounds, dtype=np.int64), pages, merged
