@@ -1,0 +1,154 @@
+"""spark-submit entry point — the CLI analog of the reference's ~30-flag
+``main`` (reference src/zopfli/zopfli_bin.c:679-921), reduced to the flags
+that exist in a Spark engine.
+
+Deployment (north rule):
+
+    python -m zopfli_spark.cli package-zip          # build zopfli_spark.zip
+    spark-submit --py-files zopfli_spark.zip \
+        cli.py encode --input <tokens parquet> --output <store root> \
+        [--page-budget N] [--group-budget N] [--iterations N] [--seed N]
+
+Subcommands: encode, decode, verify, datagen, package-zip.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def _spark(args):
+    from pyspark.sql import SparkSession
+
+    b = (
+        SparkSession.builder.appName("zopfli_spark")
+        .config("spark.sql.shuffle.partitions", str(args.shuffle_partitions))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+    )
+    if args.master:
+        b = b.master(args.master)
+    return b.getOrCreate()
+
+
+def _config(args):
+    from .config import EngineConfig
+
+    return EngineConfig(
+        page_budget_values=args.page_budget,
+        group_budget_values=args.group_budget,
+        giant_doc_values=args.giant_budget or args.group_budget // 2,
+        zlib_level=args.zlib_level,
+        iterations=args.iterations,
+        seed=args.seed,
+    )
+
+
+def cmd_encode(args) -> int:
+    from .sources.store import encode_to_store
+
+    spark = _spark(args)
+    df = spark.read.parquet(args.input)
+    t0 = time.time()
+    m = encode_to_store(df, args.output, _config(args), run_id=args.run_id)
+    rows = m.collect()
+    wall = time.time() - t0
+    out = {
+        "run_id": args.run_id,
+        "wall_sec": round(wall, 3),
+        "partitions": len({r["part_id"] for r in rows}),
+        "raw_bytes": sum(r["raw_bytes"] for r in rows),
+        "enc_bytes": sum(r["enc_bytes"] for r in rows),
+    }
+    out["ratio"] = round(out["raw_bytes"] / max(out["enc_bytes"], 1), 4)
+    print(json.dumps(out))
+    return 0
+
+
+def cmd_decode(args) -> int:
+    from .engine import decode_table
+    from .sources.store import read_pages
+
+    spark = _spark(args)
+    decoded = decode_table(read_pages(spark, args.input), _config(args))
+    decoded.write.mode("overwrite").parquet(args.output)
+    print(json.dumps({"rows": spark.read.parquet(args.output).count()}))
+    return 0
+
+
+def cmd_verify(args) -> int:
+    from .engine import decode_table, roundtrip_check
+    from .sources.store import read_pages
+
+    spark = _spark(args)
+    original = spark.read.parquet(args.input)
+    decoded = decode_table(read_pages(spark, args.store), _config(args))
+    bad = roundtrip_check(original, decoded).count()
+    print(json.dumps({"mismatches": bad, "ok": bad == 0}))
+    return 0 if bad == 0 else 1
+
+
+def cmd_datagen(args) -> int:
+    from .datagen import synth_tokens_df
+
+    spark = _spark(args)
+    synth_tokens_df(spark, args.n_docs, seed=args.seed).write.mode(
+        "overwrite"
+    ).parquet(args.output)
+    print(json.dumps({"docs": args.n_docs, "path": args.output}))
+    return 0
+
+
+def cmd_package_zip(args) -> int:
+    from .deploy import package_zip_path
+
+    print(package_zip_path())
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="zopfli_spark")
+    p.add_argument("--master", default=None, help="spark master (default: from spark-submit)")
+    p.add_argument("--shuffle-partitions", type=int, default=256)
+    p.add_argument("--page-budget", type=int, default=1 << 20)
+    p.add_argument("--group-budget", type=int, default=1 << 22)
+    p.add_argument("--giant-budget", type=int, default=0)
+    p.add_argument("--zlib-level", type=int, default=6)
+    p.add_argument("--iterations", type=int, default=5)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--run-id", default="cli")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    enc = sub.add_parser("encode", help="encode a tokens parquet into a page store")
+    enc.add_argument("--input", required=True)
+    enc.add_argument("--output", required=True)
+
+    dec = sub.add_parser("decode", help="decode a page store back to tokens parquet")
+    dec.add_argument("--input", required=True, help="store root")
+    dec.add_argument("--output", required=True)
+
+    ver = sub.add_parser("verify", help="bit-identical round-trip check")
+    ver.add_argument("--input", required=True, help="original tokens parquet")
+    ver.add_argument("--store", required=True, help="encoded store root")
+
+    gen = sub.add_parser("datagen", help="write the synthetic tokens fixture")
+    gen.add_argument("--n-docs", type=int, required=True)
+    gen.add_argument("--output", required=True)
+
+    sub.add_parser("package-zip", help="print path of a --py-files zip")
+
+    args = p.parse_args(argv)
+    return {
+        "encode": cmd_encode,
+        "decode": cmd_decode,
+        "verify": cmd_verify,
+        "datagen": cmd_datagen,
+        "package-zip": cmd_package_zip,
+    }[args.cmd](args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
