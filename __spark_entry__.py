@@ -250,6 +250,42 @@ def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from zopfli_spark.functions.text import winnow_fingerprints
+
+    return (
+        winnow_fingerprints(_read(spark, sf_dir, "documents"), k=8, window=4)
+        .select(F.col("doc_id").cast("bigint"), F.col("fingerprint").cast("bigint"))
+        .orderBy("doc_id", "fingerprint")
+    )
+
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing over binary payloads derived from documents
+    (decode step is a deterministic stub; shape contract oracle-checked)."""
+    from zopfli_spark.functions.multimodal import extract_features
+
+    media = _read(spark, sf_dir, "documents").select(
+        F.format_string("m_%09d", F.col("doc_id")).alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+        (F.pmod(F.col("n_chars"), F.lit(48)) + F.lit(16)).cast("int").alias("width"),
+        (F.pmod(F.col("doc_id"), F.lit(48)) + F.lit(16)).cast("int").alias("height"),
+        F.lit(1).cast("int").alias("n_frames"),
+        F.lit(0).cast("int").alias("sample_rate"),
+    )
+    return (
+        extract_features(media, out_w=16, out_h=16, max_frames=2)
+        .select(
+            "media_id",
+            F.col("out_width").cast("bigint"),
+            F.col("out_height").cast("bigint"),
+            F.col("n_frames_sampled").cast("bigint"),
+        )
+        .orderBy("media_id")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "roundtrip_lineitem": q_roundtrip_lineitem,
@@ -268,6 +304,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash": q_simhash,
         "lsh_ann_topk": q_lsh_ann_topk,
+        "winnow_fingerprints": q_winnow_fingerprints,
+        "media_features": q_media_features,
     }
 
 
@@ -383,6 +421,29 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sb ON sb.doc_id = c.id_b
             WHERE c.common * 1.0 / (sa.n_sh + sb.n_sh - c.common) >= 0.15
             ORDER BY id_a, id_b
+        """,
+        "winnow_fingerprints": """
+            WITH g AS (
+              SELECT d.doc_id, gs.i,
+                     CAST(('0x' || substr(md5(substring(d.text, gs.i, 8)), 1, 15)) AS BIGINT) AS h
+              FROM documents d,
+                   LATERAL (SELECT unnest(generate_series(1, greatest(length(d.text) - 7, 0)))) AS gs(i)
+            ),
+            w AS (
+              SELECT doc_id, i,
+                     min(h) OVER (PARTITION BY doc_id ORDER BY i
+                                  ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+                     count(*) OVER (PARTITION BY doc_id) AS nh
+              FROM g)
+            SELECT DISTINCT CAST(doc_id AS BIGINT) AS doc_id, fp AS fingerprint
+            FROM w WHERE i <= nh - 3 ORDER BY doc_id, fingerprint
+        """,
+        "media_features": """
+            SELECT printf('m_%09d', doc_id) AS media_id,
+                   CAST(16 AS BIGINT) AS out_width,
+                   CAST(16 AS BIGINT) AS out_height,
+                   CAST(1 AS BIGINT) AS n_frames_sampled
+            FROM documents ORDER BY media_id
         """,
         "ann_topk": """
             WITH q AS (

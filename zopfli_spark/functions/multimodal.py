@@ -1,0 +1,142 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+A 100 TB training-data pipeline carries image/audio/video alongside tokens.
+The engine treats them as the reference treats its input — opaque bytes
+(reference src/zopfli/zopfli.h:202-205: ``const unsigned char* in``) — with
+typed metadata columns, and runs decode / feature-extract / resize /
+frame-sample as Arrow-batched kernels over ``mapInArrow``.
+
+The actual media DECODE step is a stub: the image/audio libraries are not in
+this container, so ``fake_decode_rgb`` derives a deterministic pixel buffer
+from the bytes (BLAKE2-seeded) with the real shape contract. Everything
+Spark-side — schema, batch shape, partition behavior, UDF signatures, the
+resize/frame-sample math — is real and tested; swapping in Pillow/ffmpeg is
+a one-function change behind ``_DECODERS``.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pyarrow as pa
+
+from pyspark.sql import DataFrame
+
+MEDIA_SCHEMA = (
+    "media_id string, kind string, payload binary, width int, height int, "
+    "n_frames int, sample_rate int"
+)
+
+FEATURES_SCHEMA = (
+    "media_id string, kind string, out_width int, out_height int, "
+    "n_frames_sampled int, mean_luma double, feature binary"
+)
+
+_FEATURES_ARROW = pa.schema(
+    [
+        ("media_id", pa.string()),
+        ("kind", pa.string()),
+        ("out_width", pa.int32()),
+        ("out_height", pa.int32()),
+        ("n_frames_sampled", pa.int32()),
+        ("mean_luma", pa.float64()),
+        ("feature", pa.binary()),
+    ]
+)
+
+
+def fake_decode_rgb(payload: bytes, width: int, height: int, n_frames: int = 1) -> np.ndarray:
+    """STUB decoder: deterministic (frames, h, w, 3) uint8 from the payload.
+
+    Replace with a real codec (Pillow / pyav) in production — the container
+    has no media libraries. Deterministic so tests and oracles are stable."""
+    seed = int.from_bytes(hashlib.blake2b(payload, digest_size=8).digest(), "little")
+    rng = np.random.Generator(np.random.PCG64(seed))
+    return rng.integers(0, 256, (n_frames, height, width, 3), dtype=np.uint8)
+
+
+_DECODERS = {"image": fake_decode_rgb, "video": fake_decode_rgb}
+
+
+def _resize_nn(img: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Vectorized nearest-neighbor resize (h, w, 3) → (out_h, out_w, 3)."""
+    h, w = img.shape[:2]
+    ys = (np.arange(out_h) * h // out_h).astype(np.int64)
+    xs = (np.arange(out_w) * w // out_w).astype(np.int64)
+    return img[ys][:, xs]
+
+
+def _frame_sample(n_frames: int, k: int) -> np.ndarray:
+    """Deterministic uniform frame sampling indices."""
+    k = min(k, n_frames)
+    return (np.arange(k) * n_frames // max(k, 1)).astype(np.int64)
+
+
+def extract_features(
+    media: DataFrame,
+    out_w: int = 32,
+    out_h: int = 32,
+    max_frames: int = 4,
+) -> DataFrame:
+    """decode → frame-sample → resize → luma features, one Arrow batch at a
+    time (mapInArrow: narrow, no shuffle; batch size bounds worker memory —
+    the master-block memory discipline, reference src/zopfli/util.h:52-61)."""
+    from ..deploy import ensure_shipped
+
+    ensure_shipped(media.sparkSession)
+
+    def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for b in batches:
+            tbl = pa.Table.from_batches([b])
+            ids = tbl.column("media_id").to_pylist()
+            kinds = tbl.column("kind").to_pylist()
+            payloads = tbl.column("payload").to_pylist()
+            widths = tbl.column("width").to_pylist()
+            heights = tbl.column("height").to_pylist()
+            frames = tbl.column("n_frames").to_pylist()
+            cols = {f.name: [] for f in _FEATURES_ARROW}
+            for mid, kind, payload, w, h, nf in zip(
+                ids, kinds, payloads, widths, heights, frames
+            ):
+                decoder = _DECODERS.get(kind)
+                if decoder is None:
+                    raise NotImplementedError(f"no decoder for kind={kind!r}")
+                clip = decoder(payload, w, h, max(nf or 1, 1))
+                sel = _frame_sample(clip.shape[0], max_frames)
+                sampled = clip[sel]
+                resized = np.stack([_resize_nn(f, out_w, out_h) for f in sampled])
+                luma = (
+                    0.299 * resized[..., 0]
+                    + 0.587 * resized[..., 1]
+                    + 0.114 * resized[..., 2]
+                )
+                cols["media_id"].append(mid)
+                cols["kind"].append(kind)
+                cols["out_width"].append(out_w)
+                cols["out_height"].append(out_h)
+                cols["n_frames_sampled"].append(len(sel))
+                cols["mean_luma"].append(float(luma.mean()))
+                cols["feature"].append(
+                    np.ascontiguousarray(luma.mean(axis=0), dtype=np.float32).tobytes()
+                )
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(cols[f.name], type=f.type) for f in _FEATURES_ARROW],
+                schema=_FEATURES_ARROW,
+            )
+
+    return media.mapInArrow(run, schema=FEATURES_SCHEMA)
+
+
+def synth_media_df(spark, n: int, seed: int = 42) -> DataFrame:
+    """Deterministic fake media table (binary payload + typed metadata)."""
+    rng = np.random.Generator(np.random.PCG64(seed))
+    rows = []
+    for i in range(n):
+        kind = "video" if i % 4 == 0 else "image"
+        w, h = int(rng.integers(16, 128)), int(rng.integers(16, 128))
+        nf = int(rng.integers(2, 16)) if kind == "video" else 1
+        payload = rng.integers(0, 256, int(rng.integers(64, 4096)), dtype=np.uint8).tobytes()
+        rows.append((f"m_{i:08d}", kind, payload, w, h, nf, 0))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)

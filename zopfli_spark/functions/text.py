@@ -22,10 +22,15 @@ from pyspark.sql import Column, DataFrame, Window, functions as F
 
 
 def _shingle_expr(text_col: str, k: int) -> str:
-    """SQL expression for distinct k-gram shingles (engine-portable form)."""
+    """SQL expression for distinct k-gram shingles (engine-portable form).
+
+    Guarded: Spark's sequence(1, 0) yields [1, 0] (descending), so texts
+    shorter than k must map to an empty array explicitly."""
     return (
-        f"array_distinct(transform(sequence(1, greatest(length({text_col}) - {k - 1}, 0)), "
-        f"i -> substring({text_col}, i, {k})))"
+        f"if(length({text_col}) >= {k}, "
+        f"array_distinct(transform(sequence(1, length({text_col}) - {k - 1}), "
+        f"i -> substring({text_col}, i, {k}))), "
+        f"cast(array() as array<string>))"
     )
 
 
@@ -230,6 +235,37 @@ def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
         - F.when(F.col("n_chars2") < 64, F.lit(300)).otherwise(F.lit(0))
     )
     return s.withColumn("quality_x1000", F.floor(score).cast("bigint"))
+
+
+def winnow_fingerprints(
+    docs: DataFrame, text_col: str = "text", k: int = 8, window: int = 4
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03
+    — public algorithm): hash every k-gram, slide a window of ``window``
+    hashes, keep each window's minimum; the distinct minima fingerprint the
+    document (guaranteed to catch any match ≥ k + window - 1 chars).
+
+    Fully declarative (sequence/transform/slice/array_min — whole-stage
+    codegen; no UDF). The k-gram hash is an md5-prefix integer so it is
+    bit-identical across engines (DuckDB oracle included)."""
+    t = text_col
+    hashes = (
+        f"transform(sequence(1, greatest(length({t}) - {k - 1}, 0)), "
+        f"i -> cast(conv(substring(md5(substring({t}, i, {k})), 1, 15), 16, 10) as bigint))"
+    )
+    # materialize the hash array first: Catalyst does not CSE higher-order
+    # expressions, so inlining `hashes` into the window transform would
+    # recompute every md5 once per window position (O(n²) hashing)
+    with_hashes = docs.select("doc_id", F.expr(hashes).alias("_hs"))
+    mins = (
+        f"if(size(_hs) >= {window}, "
+        f"transform(sequence(1, size(_hs) - {window - 1}), "
+        f"i -> array_min(slice(_hs, i, {window}))), "
+        f"cast(array() as array<bigint>))"
+    )
+    return with_hashes.select(
+        "doc_id", F.explode(F.array_distinct(F.expr(mins))).alias("fingerprint")
+    )
 
 
 _LANG_MARKERS = {
