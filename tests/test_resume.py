@@ -85,3 +85,20 @@ def test_stale_lineage_falls_back(spark, tokens_df):
     sig1 = _page_signature(first)
     cols = ["part_id", "page_id", "codec", "checksum", "enc_bytes", "payload_crc"]
     assert sig1[cols].equals(sig[cols])
+
+
+def test_dict_and_join_delivery_equivalent(spark, tokens_df):
+    """Lineage via driver dict (small scale) and via the collect-free cogroup
+    join (10^12-scale path) must produce identical bytes and both hit."""
+    from pyspark.sql import functions as F2
+
+    from zopfli_spark.lineage import lineage_dict
+
+    first = encode_table(tokens_df, CFG).cache()
+    lineage = lineage_from_pages(first, CFG.mode).cache()
+    via_join = encode_table(tokens_df, CFG, lineage=lineage)
+    via_dict = encode_table(tokens_df, CFG, lineage=lineage_dict(lineage))
+    a = via_join.agg(F2.sum(F2.crc32("payload")), F2.sum("resumed"), F2.count("*")).collect()[0]
+    b = via_dict.agg(F2.sum(F2.crc32("payload")), F2.sum("resumed"), F2.count("*")).collect()[0]
+    assert tuple(a) == tuple(b)
+    assert a[1] == a[2]  # every page resumed in both deliveries

@@ -71,5 +71,5 @@ def test_lineage_latest_record_wins(spark, tokens_df, tmp_path_factory):
     append_lineage(pages, root, CFG)
     append_lineage(pages, root, CFG)  # duplicate append (re-run)
     lin = read_lineage(spark, root)
-    dup = lin.groupBy("content_hash", "mode").count().filter(F.col("count") > 1)
+    dup = lin.groupBy("content_key", "mode").count().filter(F.col("count") > 1)
     assert dup.count() == 0

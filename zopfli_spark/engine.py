@@ -31,14 +31,14 @@ from .deploy import ensure_shipped
 from .lineage import group_content_hash, lineage_dict, struct_plan_to_pages
 from .operators.pagecodec import decode_page, encode_page
 from .pages import split_by_cost, split_simple
-from .plans.planner import GROUP_COL, plan_groups
+from .plans.planner import GROUP_COL, ROW_HASH_COL, plan_groups
 from .squeeze import merge_pass, refine_boundaries
 
 PAGES_SCHEMA = (
     "part_id int, page_id int, codec string, n_rows int, n_values long, "
     "first_doc_id string, last_doc_id string, raw_bytes long, enc_bytes long, "
-    "checksum long, enc_us long, content_hash_group long, resumed int, "
-    "header binary, payload binary"
+    "checksum long, enc_us long, content_key long, content_hash_group long, "
+    "resumed int, header binary, payload binary"
 )
 
 _PAGES_ARROW = pa.schema(
@@ -54,6 +54,7 @@ _PAGES_ARROW = pa.schema(
         ("enc_bytes", pa.int64()),
         ("checksum", pa.int64()),
         ("enc_us", pa.int64()),
+        ("content_key", pa.int64()),
         ("content_hash_group", pa.int64()),
         ("resumed", pa.int32()),
         ("header", pa.binary()),
@@ -88,7 +89,12 @@ def _tokens_flat(tbl: pa.Table) -> tuple[np.ndarray, np.ndarray]:
     return values, lens
 
 
-def _encode_group(tbl: pa.Table, config: EngineConfig, lin: dict | None = None) -> pa.Table:
+def _encode_group(
+    tbl: pa.Table,
+    config: EngineConfig,
+    lin: dict | None = None,
+    plan_tbl: pa.Table | None = None,
+) -> pa.Table:
     """Encode one group → page rows. Pure function of group content (sorted
     by doc_id), so output is identical at any parallelism — the seeded
     determinism discipline of reference src/zopfli/squeeze.c:79-146."""
@@ -98,8 +104,26 @@ def _encode_group(tbl: pa.Table, config: EngineConfig, lin: dict | None = None) 
     doc_ids = np.asarray(tbl.column("doc_id").to_pylist(), dtype=object)
     sources = np.asarray(tbl.column("source").to_pylist(), dtype=object)
     values, lens = _tokens_flat(tbl)
+    # order-insensitive content key: XOR of the JVM-computed per-row hashes —
+    # the lineage join key, computable on both sides of the shuffle without
+    # overflow (ANSI mode); the BLAKE2b content_hash below guards the weaker
+    # XOR against multiset cancellation before any plan is trusted
+    row_h = tbl.column(ROW_HASH_COL).to_numpy(zero_copy_only=False).astype(np.uint64)
+    content_key = (
+        int(np.bitwise_xor.reduce(row_h).view(np.int64)) if len(row_h) else 0
+    )
     content_hash = group_content_hash(values, doc_ids)
-    plan = (lin or {}).get((content_hash, config.mode))
+    plan = None
+    if plan_tbl is not None and plan_tbl.num_rows:
+        # join-delivered lineage (scalable path): verify the strong hash
+        # before trusting the plan (portability-check discipline of the
+        # reference DB records, src/zopfli/deflate.c:1195-1199)
+        if int(plan_tbl.column("content_hash")[0].as_py()) == content_hash:
+            plan = plan_tbl.column("plan")[0].as_py()
+    if plan is None and lin:
+        rec = lin.get((content_key, config.mode))
+        if rec is not None and rec[0] == content_hash:
+            plan = rec[1]
     forced_codecs: list[str] | None = None
     if plan is not None:
         # lineage hit: reuse recorded page boundaries + codecs (StatsDB fast
@@ -191,6 +215,7 @@ def _encode_group(tbl: pa.Table, config: EngineConfig, lin: dict | None = None) 
         cols["checksum"].append(checksum)
         # wall µs attributed by value share (search cost is group-level)
         cols["enc_us"].append(int(enc_us_total * (v1 - v0) / total_values))
+        cols["content_key"].append(content_key)
         cols["content_hash_group"].append(content_hash)
         cols["resumed"].append(1 if forced_codecs else 0)
         cols["header"].append(header)
@@ -214,8 +239,36 @@ def encode_table(
     reference's block threads (src/zopfli/deflate.c:1414-1614) with stable
     (part_id, page_id) ordering instead of the in-order merge."""
     ensure_shipped(df.sparkSession)
-    lin = lineage_dict(lineage)
     grouped, _ = plan_groups(df, config)
+    if lineage is not None and isinstance(lineage, DataFrame):
+        # scalable resume: no driver collect — per-group content keys are
+        # aggregated JVM-side, equi-joined against the lineage table, and the
+        # matching plans cogrouped into the encode UDF (one tiny extra
+        # shuffle of plan rows; nothing is broadcast through the driver)
+        keys = grouped.groupBy(GROUP_COL).agg(
+            F.bit_xor(F.col(ROW_HASH_COL)).alias("content_key")
+        ).select(
+            # fresh attribute ids: the cogroup below would otherwise see an
+            # ambiguous self-join on the group column
+            (F.col(GROUP_COL) + F.lit(0)).cast("int").alias(GROUP_COL),
+            F.col("content_key"),
+        )
+        plans = (
+            keys.join(
+                lineage.filter(F.col("mode") == F.lit(config.mode)),
+                "content_key",
+            )
+            .select(GROUP_COL, "content_hash", "plan")
+        )
+        return (
+            grouped.groupBy(GROUP_COL)
+            .cogroup(plans.groupBy(GROUP_COL))
+            .applyInArrow(
+                lambda left, right: _encode_group(left, config, plan_tbl=right),
+                schema=PAGES_SCHEMA,
+            )
+        )
+    lin = lineage_dict(lineage)
     return grouped.groupBy(GROUP_COL).applyInArrow(
         lambda tbl: _encode_group(tbl, config, lin), schema=PAGES_SCHEMA
     )

@@ -27,7 +27,8 @@ import numpy as np
 from pyspark.sql import DataFrame, functions as F
 
 LINEAGE_SCHEMA = (
-    "content_hash long, mode int, n_values long, n_rows int, plan string"
+    "content_key long, content_hash long, mode int, n_values long, "
+    "n_rows int, plan string"
 )
 
 
@@ -51,15 +52,15 @@ def parse_plan(plan: str) -> list[tuple[int, str]]:
 def lineage_from_pages(pages: DataFrame, mode: int) -> DataFrame:
     """Derive lineage rows from an encoded-pages DataFrame (one per group)."""
     per_page = pages.select(
+        "content_key",
         "content_hash_group",
-        "part_id",
         "page_id",
         "n_rows",
         "n_values",
         "codec",
     )
     return (
-        per_page.groupBy("content_hash_group")
+        per_page.groupBy("content_key", "content_hash_group")
         .agg(
             F.sum("n_values").alias("n_values"),
             F.sum("n_rows").alias("n_rows"),
@@ -70,6 +71,7 @@ def lineage_from_pages(pages: DataFrame, mode: int) -> DataFrame:
             ).alias("plan_struct"),
         )
         .select(
+            "content_key",
             F.col("content_hash_group").alias("content_hash"),
             F.lit(mode).alias("mode").cast("int"),
             "n_values",
@@ -80,17 +82,19 @@ def lineage_from_pages(pages: DataFrame, mode: int) -> DataFrame:
 
 
 def lineage_dict(lineage: DataFrame | dict | None) -> dict:
-    """Driver-side broadcastable lookup {(content_hash, mode): plan}.
-
-    The collect is metadata-sized (one short row per group). At 10^12-sequence
-    scale, swap for an equi-join of group keys against the lineage table —
-    the DataFrame shape supports both."""
+    """Driver-side broadcastable lookup
+    {(content_key, mode): (content_hash, plan)} — the small-scale delivery;
+    DataFrame lineage goes through the collect-free cogroup join in
+    engine.encode_table instead."""
     if lineage is None:
         return {}
     if isinstance(lineage, dict):
         return lineage
-    rows = lineage.select("content_hash", "mode", "plan").collect()
-    return {(int(r["content_hash"]), int(r["mode"])): r["plan"] for r in rows}
+    rows = lineage.select("content_key", "content_hash", "mode", "plan").collect()
+    return {
+        (int(r["content_key"]), int(r["mode"])): (int(r["content_hash"]), r["plan"])
+        for r in rows
+    }
 
 
 def struct_plan_to_pages(plan: str) -> list[tuple[int, str]]:

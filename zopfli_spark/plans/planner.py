@@ -29,10 +29,17 @@ from pyspark.sql import DataFrame, functions as F
 from ..config import EngineConfig
 
 GROUP_COL = "_zs_group"
+ROW_HASH_COL = "_zs_row_h"
 
 
 def plan_groups(df: DataFrame, config: EngineConfig) -> tuple[DataFrame, int]:
-    """Attach the deterministic group id column. Returns (df, num_groups)."""
+    """Attach the deterministic group id column plus a per-row content hash.
+
+    The row hash (xxhash64 over the full row) sums — order-insensitively —
+    into the group content key used for lineage joins: computable JVM-side
+    before the shuffle AND inside the UDF after it, with no driver round-trip
+    (the scalable replacement for collecting a lineage dict).
+    Returns (df, num_groups)."""
     agg = df.select(
         F.sum(F.coalesce(F.col("n_tok"), F.lit(0))).alias("total"),
     ).collect()[0]
@@ -43,5 +50,10 @@ def plan_groups(df: DataFrame, config: EngineConfig) -> tuple[DataFrame, int]:
     regular = F.pmod(h, F.lit(num_groups))
     # long-tail keyspace: ids in [num_groups, 2*num_groups)
     giant = F.lit(num_groups) + F.pmod(h, F.lit(num_groups))
-    out = df.withColumn(GROUP_COL, F.when(is_giant, giant).otherwise(regular).cast("int"))
+    out = df.withColumn(
+        GROUP_COL, F.when(is_giant, giant).otherwise(regular).cast("int")
+    ).withColumn(
+        ROW_HASH_COL,
+        F.xxhash64(F.col("doc_id"), F.col("tokens"), F.col("source"), F.lit(config.seed)),
+    )
     return out, num_groups

@@ -55,9 +55,9 @@ def read_lineage(spark: SparkSession, root: str) -> DataFrame | None:
         df = spark.read.parquet(path)
     except Exception:
         return None
-    # latest record wins per (content_hash, mode) — DB-overwrite semantics of
+    # latest record wins per (content_key, mode) — DB-overwrite semantics of
     # the reference's StatsDBSave (src/zopfli/deflate.c:1230-1272)
-    return df.dropDuplicates(["content_hash", "mode"])
+    return df.dropDuplicates(["content_key", "mode"])
 
 
 def append_metrics(metrics: DataFrame, root: str) -> None:
