@@ -250,6 +250,27 @@ def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_window_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stable in-partition row/page-id assignment via window functions — the
+    in-order-merge analog (reference src/zopfli/deflate.c:1574-1595), with an
+    engine-portable grouping key so DuckDB can replay it exactly."""
+    from pyspark.sql import Window
+
+    docs = _lineitem_docs(spark, sf_dir)
+    grp = F.pmod(F.substring("doc_id", -3, 3).cast("bigint"), F.lit(8))
+    w = Window.partitionBy("grp").orderBy("doc_id")
+    return (
+        docs.withColumn("grp", grp)
+        .withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .withColumn(
+            "cum_tok",
+            F.sum("n_tok").over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("bigint"),
+        )
+        .select("doc_id", F.col("grp").cast("bigint"), "rn", "cum_tok")
+        .orderBy("doc_id")
+    )
+
+
 def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     from zopfli_spark.functions.text import winnow_fingerprints
 
@@ -304,6 +325,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash": q_simhash,
         "lsh_ann_topk": q_lsh_ann_topk,
+        "window_layout": q_window_layout,
         "winnow_fingerprints": q_winnow_fingerprints,
         "media_features": q_media_features,
     }
@@ -421,6 +443,21 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sb ON sb.doc_id = c.id_b
             WHERE c.common * 1.0 / (sa.n_sh + sb.n_sh - c.common) >= 0.15
             ORDER BY id_a, id_b
+        """,
+        "window_layout": """
+            WITH d AS (
+              SELECT printf('doc_%09d', l_orderkey) AS doc_id,
+                     CAST(count(*) AS BIGINT) AS n_tok
+              FROM lineitem GROUP BY l_orderkey),
+            g AS (
+              SELECT doc_id, n_tok,
+                     CAST(substring(doc_id, length(doc_id) - 2, 3) AS BIGINT) % 8 AS grp
+              FROM d)
+            SELECT doc_id, grp,
+                   CAST(row_number() OVER (PARTITION BY grp ORDER BY doc_id) AS BIGINT) AS rn,
+                   CAST(sum(n_tok) OVER (PARTITION BY grp ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tok
+            FROM g ORDER BY doc_id
         """,
         "winnow_fingerprints": """
             WITH g AS (

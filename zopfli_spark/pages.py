@@ -76,6 +76,22 @@ class _RangeCost:
         h = total * np.log2(total) - float((nz * np.log2(nz)).sum())
         return h + _PAGE_HEADER_BYTES * 8.0
 
+    def split_costs_batch(self, start: int, end: int, mids: np.ndarray) -> np.ndarray:
+        """Vectorized SplitCost over many candidate mids at once (one matrix
+        pass instead of per-candidate python calls)."""
+
+        def side(lo_idx, hi_idx):
+            counts = (self.cum[hi_idx] - self.cum[lo_idx]).astype(np.float64)
+            totals = counts.sum(axis=-1)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                ent = np.where(counts > 0, counts * np.log2(counts, where=counts > 0), 0.0)
+            h = np.where(totals > 0, totals * np.log2(np.maximum(totals, 1)), 0.0) - ent.sum(axis=-1)
+            return h + _PAGE_HEADER_BYTES * 8.0
+
+        left = side(np.full(len(mids), start), mids)
+        right = side(mids, np.full(len(mids), end))
+        return left + right
+
 
 def _split_cost(rc: _RangeCost, start: int, end: int, mid: int) -> float:
     """SplitCost analog (reference src/zopfli/blocksplitter.c:140-144)."""
@@ -86,14 +102,15 @@ def _find_minimum(rc: _RangeCost, start: int, end: int) -> tuple[int, float]:
     """Recursive 9-point minimum search (reference blocksplitter.c:57-117)."""
     lo, hi = start + 1, end  # candidate mids in [lo, hi)
     if hi - lo <= _EXHAUSTIVE_BELOW:
-        costs = [_split_cost(rc, start, end, m) for m in range(lo, hi)]
+        mids = np.arange(lo, hi)
+        costs = rc.split_costs_batch(start, end, mids)
         k = int(np.argmin(costs))
-        return lo + k, costs[k]
+        return lo + k, float(costs[k])
     best_m, best_c = -1, np.inf
     while hi - lo > _FIND_MINIMUM_PROBES:
         probes = np.linspace(lo, hi - 1, _FIND_MINIMUM_PROBES).astype(np.int64)
         probes = np.unique(probes)
-        costs = [_split_cost(rc, start, end, int(m)) for m in probes]
+        costs = rc.split_costs_batch(start, end, probes)
         k = int(np.argmin(costs))
         if costs[k] < best_c:
             best_c, best_m = costs[k], int(probes[k])
