@@ -271,6 +271,9 @@ def encode_best(
     candidate so the result is never larger than raw + 1 tag byte (stored-block
     guarantee, deflate.c:951-989).
     """
+    # keep a narrow view for sort-heavy probes (unique on int32 moves half
+    # the bytes of the int64 working copy)
+    v_narrow = np.asarray(v)
     v = _as_i64(v)
     n = len(v)
     if n == 0:
@@ -318,7 +321,10 @@ def encode_best(
     # --- dictionary ----------------------------------------------------------
     uniq, inverse = None, None
     if ok(DICT):
-        uniq, inverse = np.unique(v, return_inverse=True)
+        uniq, inverse = np.unique(
+            v_narrow if v_narrow.dtype == np.int32 else v, return_inverse=True
+        )
+        uniq = uniq.astype(np.int64, copy=False)
         card = len(uniq)
         w_idx = bit_width(card - 1)
         lb = 1 + 4 + 4 + (card * 2 + n * w_idx + 7) // 8
