@@ -39,9 +39,21 @@ def test_feature_extraction_deterministic(spark):
     assert [bytes(x) for x in a.feature] == [bytes(x) for x in b.feature]
 
 
+def test_audio_stub_path(spark):
+    a = spark.createDataFrame(
+        [("a1", "audio", b"\x01\x02" * 64, 0, 0, 1, 16000)],
+        "media_id string, kind string, payload binary, width int, height int, n_frames int, sample_rate int",
+    )
+    from zopfli_spark.functions.multimodal import extract_features as ef
+
+    r = ef(a, out_w=8, out_h=8).first()
+    assert r["n_frames_sampled"] == 1 and len(r["feature"]) == 8 * 8 * 4
+    assert 0 <= r["mean_luma"] <= 255
+
+
 def test_unknown_kind_fails_loudly(spark):
     bad = spark.createDataFrame(
-        [("m1", "audio", b"\x00" * 64, 8, 8, 1, 16000)],
+        [("m1", "weird3d", b"\x00" * 64, 8, 8, 1, 16000)],
         "media_id string, kind string, payload binary, width int, height int, n_frames int, sample_rate int",
     )
     with pytest.raises(Exception, match="NotImplementedError|no decoder"):

@@ -229,6 +229,9 @@ def encode_forced(v: np.ndarray, codec_name: str, *, zlib_level: int = 6) -> byt
     fast path (StatsDB hit, reference src/zopfli/deflate.c:1177-1211): skips
     the candidate search entirely and reproduces the original bytes, because
     every builder is deterministic in (values, codec, level)."""
+    if "@" in codec_name:  # level-pinned zlib-family winner (recompress pass)
+        codec_name, lvl = codec_name.split("@", 1)
+        zlib_level = int(lvl)
     v = _as_i64(v)
     n = len(v)
     if n == 0 or codec_name == "plain":

@@ -37,6 +37,9 @@ class EngineConfig:
     #: stop after this many non-improving iterations (maxunsuccessful/--mui
     #: analog, reference src/zopfli/squeeze.c:609)
     max_unsuccessful: int = 3
+    #: recompression passes (--pass analog, reference src/zopfli/deflate.c:
+    #: 1728-1836): re-encode worst-ratio pages at zlib level 9, keep if smaller
+    recompress_passes: int = 1
     #: deterministic seed; combined with content hashes so re-runs (and runs
     #: at different parallelism) produce byte-identical streams
     seed: int = 42
@@ -54,6 +57,7 @@ class EngineConfig:
         bits |= (1 if self.split_mode == "cost" else 0) << 5
         bits |= (self.iterations & 0xFF) << 6
         bits |= (self.max_unsuccessful & 0xF) << 14
+        bits |= (self.recompress_passes & 0x3) << 18
         return bits
 
 

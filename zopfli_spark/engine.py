@@ -146,16 +146,17 @@ def _encode_group(
     val_offsets = np.concatenate(([0], np.cumsum(lens)))
     t_enc0 = time.perf_counter()
 
-    def encode_rows(r0: int, r1: int, forced: str | None = None):
+    def encode_rows(r0: int, r1: int, forced: str | None = None, level: int | None = None):
         v0, v1 = int(val_offsets[r0]), int(val_offsets[r1])
         return encode_page(
             doc_ids[r0:r1],
             sources[r0:r1],
             lens[r0:r1],
             values[v0:v1],
-            zlib_level=config.zlib_level,
+            zlib_level=config.zlib_level if level is None else level,
             try_zlib=config.try_zlib,
             forced_codec=forced,
+            level_tag=level,
         )
 
     pages = [
@@ -197,6 +198,26 @@ def _encode_group(
             encode_rows,
             page_budget_values=config.page_budget_values,
         )
+        # recompression passes (--pass analog, reference src/zopfli/deflate.c:
+        # 1728-1836): try harder (zlib level 9) on the worst-compressing
+        # pages, keep only if strictly smaller. Level-pinned winners are
+        # recorded as "codec@9" so lineage resume reproduces them exactly.
+        for _ in range(config.recompress_passes):
+            sizes = np.array([len(h) + len(p) for h, p, _, _ in pages], dtype=np.float64)
+            nv = np.maximum(np.diff(val_offsets[row_bounds]), 1)
+            bpv = sizes / nv
+            med = float(np.median(bpv))
+            improved_any = False
+            for k in range(len(pages)):
+                if bpv[k] <= 1.15 * med or nv[k] < 4096:
+                    continue
+                r0, r1 = int(row_bounds[k]), int(row_bounds[k + 1])
+                cand = encode_rows(r0, r1, level=9)
+                if len(cand[0]) + len(cand[1]) < sizes[k]:
+                    pages[k] = cand
+                    improved_any = True
+            if not improved_any:
+                break
     enc_us_total = int((time.perf_counter() - t_enc0) * 1e6)
     total_values = max(int(val_offsets[-1]), 1)
     cols: dict[str, list] = {f.name: [] for f in _PAGES_ARROW}

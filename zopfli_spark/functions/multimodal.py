@@ -57,6 +57,14 @@ def fake_decode_rgb(payload: bytes, width: int, height: int, n_frames: int = 1) 
     return rng.integers(0, 256, (n_frames, height, width, 3), dtype=np.uint8)
 
 
+def fake_decode_pcm(payload: bytes, sample_rate: int, n_samples: int) -> np.ndarray:
+    """STUB audio decoder: deterministic float32 PCM in [-1, 1] derived from
+    the payload bytes. Replace with pyav/soundfile in production."""
+    seed = int.from_bytes(hashlib.blake2b(payload, digest_size=8).digest(), "little")
+    rng = np.random.Generator(np.random.PCG64(seed))
+    return (rng.random(n_samples, dtype=np.float32) * 2.0 - 1.0).astype(np.float32)
+
+
 _DECODERS = {"image": fake_decode_rgb, "video": fake_decode_rgb}
 
 
@@ -97,9 +105,26 @@ def extract_features(
             heights = tbl.column("height").to_pylist()
             frames = tbl.column("n_frames").to_pylist()
             cols = {f.name: [] for f in _FEATURES_ARROW}
-            for mid, kind, payload, w, h, nf in zip(
-                ids, kinds, payloads, widths, heights, frames
+            rates = tbl.column("sample_rate").to_pylist()
+            for mid, kind, payload, w, h, nf, sr in zip(
+                ids, kinds, payloads, widths, heights, frames, rates
             ):
+                if kind == "audio":
+                    # audio path: resample-to-fixed-length + mean-power
+                    # "luma" analog so the output schema stays uniform
+                    pcm = fake_decode_pcm(payload, sr or 16000, max((sr or 16000) // 4, out_w * out_h))
+                    idx = (np.arange(out_w * out_h) * len(pcm) // (out_w * out_h)).astype(np.int64)
+                    feat = np.abs(pcm[idx]).reshape(out_h, out_w) * 255.0
+                    cols["media_id"].append(mid)
+                    cols["kind"].append(kind)
+                    cols["out_width"].append(out_w)
+                    cols["out_height"].append(out_h)
+                    cols["n_frames_sampled"].append(1)
+                    cols["mean_luma"].append(float(feat.mean()))
+                    cols["feature"].append(
+                        np.ascontiguousarray(feat, dtype=np.float32).tobytes()
+                    )
+                    continue
                 decoder = _DECODERS.get(kind)
                 if decoder is None:
                     raise NotImplementedError(f"no decoder for kind={kind!r}")

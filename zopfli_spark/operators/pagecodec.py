@@ -46,9 +46,12 @@ def encode_page(
     zlib_level: int = 6,
     try_zlib: bool = True,
     forced_codec: str | None = None,
+    level_tag: int | None = None,
 ) -> tuple[bytes, bytes, str, int]:
     """→ (header, payload, codec_name, checksum). ``forced_codec`` is the
-    lineage resume fast path (skip the argmin, reproduce recorded winner)."""
+    lineage resume fast path (skip the argmin, reproduce recorded winner);
+    ``level_tag`` pins non-default zlib levels into the codec name so resume
+    reproduces recompressed pages exactly."""
     lens_blob = encode_simple(np.asarray(lens, dtype=np.int64))
     docid_blob = encode_strings(np.asarray(doc_ids, dtype=object))
     source_blob = encode_strings(np.asarray(sources, dtype=object))
@@ -62,9 +65,13 @@ def encode_page(
     )
     if forced_codec is not None:
         payload = encode_forced(values, forced_codec, zlib_level=zlib_level)
+        name = forced_codec
     else:
         payload = encode_best(values, zlib_level=zlib_level, try_zlib=try_zlib)
-    return header, payload, blob_codec_name(payload), crc32_of_values(values)
+        name = blob_codec_name(payload)
+        if level_tag is not None and name in ("zlib", "for_zlib", "plane_zlib"):
+            name = f"{name}@{level_tag}"
+    return header, payload, name, crc32_of_values(values)
 
 
 def decode_page(
