@@ -99,25 +99,25 @@ def _encode_job(spark, n_docs: int, seed: int = 42, cfg=None) -> dict:
     }
 
 
-def scaling_worker(cores: int, n_docs: int, seed: int, cfg_cpus: int) -> None:
+def scaling_worker(cores: int, n_docs: int, seed: int, cfg_cpus: int, n_runs: int) -> None:
     spark = _mk_spark(cores)
     spark.sparkContext.setLogLevel("ERROR")
     cfg = _bench_config(n_docs, cfg_cpus)
     _encode_job(spark, n_docs, seed, cfg=cfg)  # warm workers
-    # best-of-2: short timed windows on a shared host are noisy; the best
+    # best-of-N: short timed windows on a shared host are noisy; the best
     # run is the least-interfered measurement of the same deterministic job
-    runs = [_encode_job(spark, n_docs, seed, cfg=cfg) for _ in range(2)]
+    runs = [_encode_job(spark, n_docs, seed, cfg=cfg) for _ in range(n_runs)]
     out = min(runs, key=lambda r: r["wall"])
     out["cores"] = cores
     print("WORKER_JSON:" + json.dumps(out))
     spark.stop()
 
 
-def _run_scaling(n_docs: int, lo: int, hi: int) -> dict:
+def _run_scaling(n_docs: int, lo: int, hi: int, n_runs: int = 3) -> dict:
     res = {}
     for cores in (lo, hi):
         p = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--scaling-worker", str(cores), str(n_docs), "42", "32"],
+            [sys.executable, os.path.abspath(__file__), "--scaling-worker", str(cores), str(n_docs), "42", "32", str(n_runs)],
             capture_output=True,
             text=True,
             timeout=1200,
@@ -203,9 +203,9 @@ def main() -> None:
     # big enough that fixed JVM/job costs do not dominate the 2-core wall
     scale_docs = min(max(n_docs, 2000), 24000)
     _log("scaling 2->8")
-    scaling = _run_scaling(scale_docs, 2, 8)
+    scaling = _run_scaling(scale_docs, 2, 8, n_runs=3)
     _log("scaling 8->32")
-    scaling_hi = _run_scaling(scale_docs, 8, min(cpus, 32))
+    scaling_hi = _run_scaling(scale_docs, 8, min(cpus, 32), n_runs=2)
 
     total = time.perf_counter() - t_all
     print(
@@ -230,6 +230,6 @@ def main() -> None:
 
 if __name__ == "__main__":
     if len(sys.argv) >= 2 and sys.argv[1] == "--scaling-worker":
-        scaling_worker(int(sys.argv[2]), int(sys.argv[3]), int(sys.argv[4]), int(sys.argv[5]))
+        scaling_worker(int(sys.argv[2]), int(sys.argv[3]), int(sys.argv[4]), int(sys.argv[5]), int(sys.argv[6]))
     else:
         main()
