@@ -250,6 +250,46 @@ def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_setops_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-op verification surface: exceptAll between input and decoded rows
+    must be empty in BOTH directions (SURVEY §2.7) — pushed through the full
+    encode→decode pipeline, per source."""
+    docs = _lineitem_docs(spark, sf_dir)
+    decoded = decode_table(encode_table(docs, _CFG), _CFG)
+    a = docs.select("doc_id", F.col("tokens").cast("string").alias("t"))
+    b = decoded.select("doc_id", F.col("tokens").cast("string").alias("t"))
+    return spark.createDataFrame(
+        [(a.exceptAll(b).count(), b.exceptAll(a).count())],
+        "missing_after_decode bigint, extra_after_decode bigint",
+    )
+
+
+def q_metrics_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metrics reporting surface: top pages by compression ratio (sort/limit;
+    engine-internal values → rows-only driver check)."""
+    pages = encode_table(_lineitem_docs(spark, sf_dir), _CFG)
+    return (
+        pages.withColumn("ratio", F.col("raw_bytes") / F.col("enc_bytes"))
+        .orderBy(F.col("ratio").desc(), "part_id", "page_id")
+        .select("part_id", "page_id", "codec", "n_values", "ratio")
+        .limit(10)
+    )
+
+
+def q_distinct_prescreen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dictionary-viability prescreen (SURVEY §2.7): exact distinct counts per
+    source as the oracle-checkable form of the approx_count_distinct gate."""
+    li = _read(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").cast("bigint").alias("n_distinct_parts"),
+            F.count("*").cast("bigint").alias("n_rows"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 def q_window_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stable in-partition row/page-id assignment via window functions — the
     in-order-merge analog (reference src/zopfli/deflate.c:1574-1595), with an
@@ -325,6 +365,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash": q_simhash,
         "lsh_ann_topk": q_lsh_ann_topk,
+        "setops_verify": q_setops_verify,
+        "metrics_topk": q_metrics_topk,
+        "distinct_prescreen": q_distinct_prescreen,
         "window_layout": q_window_layout,
         "winnow_fingerprints": q_winnow_fingerprints,
         "media_features": q_media_features,
@@ -443,6 +486,16 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sb ON sb.doc_id = c.id_b
             WHERE c.common * 1.0 / (sa.n_sh + sb.n_sh - c.common) >= 0.15
             ORDER BY id_a, id_b
+        """,
+        "setops_verify": """
+            SELECT CAST(0 AS BIGINT) AS missing_after_decode,
+                   CAST(0 AS BIGINT) AS extra_after_decode
+        """,
+        "distinct_prescreen": """
+            SELECT l_returnflag,
+                   CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_distinct_parts,
+                   CAST(count(*) AS BIGINT) AS n_rows
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
         """,
         "window_layout": """
             WITH d AS (

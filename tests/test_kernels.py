@@ -116,3 +116,49 @@ def test_fsst_compresses_doc_ids():
     blob = encode_strings(s)
     raw = sum(len(x) for x in s)
     assert len(blob) < raw  # shared 'doc_0000000' prefixes must compress
+
+
+# ---------------------------------------------------------------------------
+# hypothesis property tests (FIXTURES.md §6.1 generated-case requirement)
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=-(2**31), max_value=2**31 - 1),
+        min_size=0,
+        max_size=400,
+    )
+)
+def test_property_roundtrip_any_int32_list(xs):
+    v = np.array(xs, dtype=np.int64)
+    blob = encode_best(v)
+    assert np.array_equal(decode_blob(blob, len(v)), v)
+    assert len(blob) <= 1 + 4 * len(v)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.integers(min_value=0, max_value=2**17),  # base
+    st.integers(min_value=1, max_value=64),     # run value count
+    st.integers(min_value=1, max_value=50),     # max run length
+    st.integers(min_value=0, max_value=2**32 - 1),
+)
+def test_property_structured_runs(base, nvals, maxrun, seed):
+    rng = np.random.Generator(np.random.PCG64(seed))
+    v = np.repeat(
+        rng.integers(base, base + nvals, 50), rng.integers(1, maxrun + 1, 50)
+    ).astype(np.int64)
+    blob = encode_best(v)
+    assert np.array_equal(decode_blob(blob, len(v)), v)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.text(max_size=24), min_size=0, max_size=80))
+def test_property_string_roundtrip(xs):
+    s = np.array(xs, dtype=object)
+    blob = encode_strings(s)
+    assert list(decode_strings(blob, len(s))) == xs
