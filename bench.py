@@ -41,6 +41,11 @@ def _mk_spark(cores: int, shuffle_partitions: int | None = None):
         # real deployment sets. Measured on this host: 32 workers on 32
         # vCPUs inverts (3.1 Mtok/s) vs 16 workers (10.4 Mtok/s).
         .config("spark.task.cpus", "2" if cores >= 16 else "1")
+        # local-mode shuffle goes to local disk: lz4 is pure CPU overhead
+        # competing with the workers (+15% encode at 32 cores when off).
+        # A cluster with network shuffle keeps compression on.
+        .config("spark.shuffle.compress", "false")
+        .config("spark.shuffle.spill.compress", "false")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or 256))
         # AQE off for the bench: its partition coalescing is tuned for
         # byte-sized shuffles and collapses the CPU-heavy encode stage's
