@@ -126,8 +126,9 @@ def q_partition_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Size-balanced partition planning aggregation (master-block sizing
     analog) with an oracle-expressible grouping key."""
     docs = _lineitem_docs(spark, sf_dir)
+    grp = F.pmod(F.substring("doc_id", -3, 3).cast("bigint"), F.lit(8))
     return (
-        docs.withColumn("grp", F.pmod(F.crc32(F.col("doc_id")), F.lit(8)).cast("bigint"))
+        docs.withColumn("grp", grp)
         .groupBy("grp")
         .agg(
             F.count("*").cast("bigint").alias("n_docs"),
@@ -406,8 +407,17 @@ def oracle_sql() -> dict[str, str]:
                    CAST(4 * count(*) AS BIGINT) AS total_raw_bytes
             FROM lineitem
         """,
-        # partition_plan intentionally omitted for now: crc32 differs across
-        # engines; covered by rows-only check until a portable key lands.
+        "partition_plan": """
+            WITH d AS (
+              SELECT printf('doc_%09d', l_orderkey) AS doc_id,
+                     CAST(count(*) AS BIGINT) AS n_tok
+              FROM lineitem GROUP BY l_orderkey)
+            SELECT CAST(substring(doc_id, length(doc_id) - 2, 3) AS BIGINT) % 8 AS grp,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_tok) AS BIGINT) AS sum_tok,
+                   CAST(max(n_tok) AS BIGINT) AS max_tok
+            FROM d GROUP BY 1 ORDER BY grp
+        """,
         "doc_stats": """
             SELECT source,
                    CAST(count(*) AS BIGINT) AS n_docs,
