@@ -67,6 +67,23 @@ def test_checksum_detects_corruption(spark, pages):
         decode_page(header, bytes(corrupt), row["checksum"])
 
 
+def test_checksum_detects_header_corruption(spark, pages):
+    """The v2 checksum covers header content (doc_ids/sources/lens), so a
+    flipped header byte must fail loudly, never decode to wrong metadata
+    (VERDICT r1 bug #2)."""
+    from zopfli_spark.operators.pagecodec import decode_page
+
+    row = pages.filter(F.col("n_rows") > 3).first()
+    header, payload = bytes(row["header"]), bytes(row["payload"])
+    decode_page(header, payload, row["checksum"])  # clean passes
+    # tamper inside the docid/source blob region (past the fixed prefix)
+    for pos in (len(header) - 1, len(header) // 2, 12):
+        corrupt = bytearray(header)
+        corrupt[pos] ^= 0xFF
+        with pytest.raises(Exception):
+            decode_page(bytes(corrupt), payload, row["checksum"])
+
+
 def test_metrics_shape(spark, pages):
     m = metrics_table(pages, "t").toPandas()
     assert {"part_id", "codec", "pages", "ratio", "tokens_per_sec", "run_id"} <= set(m.columns)
@@ -88,3 +105,22 @@ def test_determinism_across_parallelism(spark, tokens_df):
 def test_empty_input(spark):
     empty = spark.createDataFrame([], "doc_id string, tokens array<int>, n_tok int, source string")
     assert encode_table(empty, CFG).count() == 0
+
+
+def test_nul_bearing_doc_ids_roundtrip(spark):
+    """Regression for VERDICT r1 bug #1: doc_ids differing only in trailing
+    NULs must survive encode→decode distinct (the S_DICT header codec used
+    to collapse them via numpy's fixed-width 'U' dtype)."""
+    rows = [
+        (f"doc_{i:03d}" + "\x00" * (i % 3), [i, i + 1, i + 2] * 10, 30, "web\x00")
+        for i in range(120)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id string, tokens array<int>, n_tok int, source string"
+    )
+    pages = encode_table(df, CFG)
+    decoded = decode_table(pages, CFG)
+    assert decoded.count() == 120
+    assert decoded.select("doc_id").distinct().count() == 120
+    bad = roundtrip_check(df, decoded)
+    assert bad.count() == 0, bad.limit(5).toPandas().to_string()

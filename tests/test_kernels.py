@@ -100,6 +100,12 @@ STRING_CASES = {
     "low_card": np.array(["web", "code", "books", "wiki"] * 250, dtype=object),
     "unicode": np.array(["héllo", "wörld", "日本語テキスト", ""] * 50, dtype=object),
     "empties": np.array(["", "", "a", ""], dtype=object),
+    # regression: numpy "U" dtype drops trailing NULs; 'a' and 'a\x00' must
+    # stay distinct dictionary entries (VERDICT r1 bug #1)
+    "trailing_nul": np.array(
+        (["a", "a\x00", "a\x00\x00", "b\x00", "b"] * 30) + ["000\x80" + "\x00"],
+        dtype=object,
+    ),
 }
 
 

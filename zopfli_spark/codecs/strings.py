@@ -257,9 +257,12 @@ def encode_strings(strings: np.ndarray, try_fsst: bool = True) -> bytes:
     best = _enc_s_plain(strings)
     if n == 0:
         return best
-    uniq, inverse = np.unique(strings.astype("U"), return_inverse=True)
+    # np.unique on the object array directly: numpy's fixed-width "U" dtype
+    # silently drops trailing '\x00' characters, which collapsed distinct
+    # strings ('a' vs 'a\x00') into one dictionary entry — data loss.
+    uniq, inverse = np.unique(strings, return_inverse=True)
     if 1 <= len(uniq) <= n // 2:
-        vb = _enc_s_plain(uniq.astype(object))
+        vb = _enc_s_plain(uniq)
         ib = encode_simple(inverse.astype(np.int64))
         cand = bytes([S_DICT]) + _U32.pack(len(uniq)) + _U32.pack(len(vb)) + vb + ib
         if len(cand) < len(best):

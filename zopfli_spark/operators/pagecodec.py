@@ -10,8 +10,14 @@ per-page metadata blob instead of a byte-stream envelope)::
     [source_blob           — string codec over source]
 
 Payload = int codec blob over the concatenated token values.
-Checksum = crc32 of the raw '<i4' value bytes (CRC-over-original-bytes
-discipline, reference src/zopfli/crc32.c:67-78, gzip_container.c:76).
+Checksum = crc32 chained over the ORIGINAL page content: raw '<i4' value
+bytes, then '<i8' lens, then utf-8 doc_ids (length-prefixed via their '<i8'
+length array), then sources likewise (CRC-over-original-bytes discipline,
+reference src/zopfli/crc32.c:67-78, gzip_container.c:76). Covering the
+header content — not just token values — makes header-codec corruption
+(e.g. a dictionary bug collapsing distinct doc_ids) fail loudly at decode
+instead of silently returning wrong metadata. Format v2; v1 checksummed
+values only and no v1 pages persist.
 """
 
 from __future__ import annotations
@@ -35,6 +41,24 @@ _U32 = struct.Struct("<I")
 
 def crc32_of_values(values: np.ndarray) -> int:
     return zlib.crc32(np.ascontiguousarray(values, dtype="<i4").tobytes())
+
+
+def _crc_strings(strings: np.ndarray, crc: int) -> int:
+    """Chain CRC over length-prefixed utf-8 bytes (unambiguous concat)."""
+    bs = [s.encode("utf-8") for s in strings.tolist()]
+    lens = np.fromiter((len(b) for b in bs), dtype="<i8", count=len(bs))
+    crc = zlib.crc32(lens.tobytes(), crc)
+    return zlib.crc32(b"".join(bs), crc)
+
+
+def page_checksum(
+    doc_ids: np.ndarray, sources: np.ndarray, lens: np.ndarray, values: np.ndarray
+) -> int:
+    """CRC over all original page content — values AND header fields."""
+    crc = crc32_of_values(values)
+    crc = zlib.crc32(np.ascontiguousarray(lens, dtype="<i8").tobytes(), crc)
+    crc = _crc_strings(np.asarray(doc_ids, dtype=object), crc)
+    return _crc_strings(np.asarray(sources, dtype=object), crc)
 
 
 def encode_page(
@@ -71,7 +95,7 @@ def encode_page(
         name = blob_codec_name(payload)
         if level_tag is not None and name in ("zlib", "for_zlib", "plane_zlib"):
             name = f"{name}@{level_tag}"
-    return header, payload, name, crc32_of_values(values)
+    return header, payload, name, page_checksum(doc_ids, sources, lens, values)
 
 
 def decode_page(
@@ -93,7 +117,7 @@ def decode_page(
     n_values = int(lens.sum())
     values = decode_blob(payload, n_values).astype(np.int32)
     if checksum is not None:
-        actual = crc32_of_values(values)
+        actual = page_checksum(doc_ids, sources, lens, values)
         if actual != checksum:
             raise ValueError(f"page checksum mismatch: {actual} != {checksum}")
     if not split_rows:
