@@ -28,6 +28,10 @@ Blob format (self-describing, recursive for composites)::
     DICT        6: [u32 card][u32 len(dict_blob)][dict_blob][indices_blob]
     ZLIB        7: [zlib.compress of '<i4' raw]
     FOR_ZLIB    8: [i64 base][u8 width][zlib of packed residuals]
+    HUFFMAN    10: [u32 card][u32 len(dict_blob)][dict_blob]
+                   [u8 max_code_len][u32 len(len_tbl)][len_tbl — nested blob]
+                   [u16 miniblock K][u32 len(offsets_blob)][offsets_blob]
+                   [u32 total_bits][MSB-first canonical-Huffman bitstream]
 
 Decoding only needs the blob plus the value count ``n`` (counts for nested
 blobs are derivable: RLE stores n_runs, DICT stores card). All kernels are
@@ -42,6 +46,7 @@ import zlib
 import numpy as np
 
 from .bitio import bit_width, pack_bits, unpack_bits, zigzag_decode, zigzag_encode
+from ..model import package_merge
 
 # Codec tags
 PLAIN = 0
@@ -54,6 +59,7 @@ DICT = 6
 ZLIB = 7
 FOR_ZLIB = 8
 PLANE_ZLIB = 9
+HUFFMAN = 10
 
 CODEC_NAMES = {
     PLAIN: "plain",
@@ -66,6 +72,7 @@ CODEC_NAMES = {
     ZLIB: "zlib",
     FOR_ZLIB: "for_zlib",
     PLANE_ZLIB: "plane_zlib",
+    HUFFMAN: "huffman",
 }
 
 _I64 = struct.Struct("<q")
@@ -224,6 +231,135 @@ def _build_dict(v: np.ndarray, uniq: np.ndarray, inverse: np.ndarray) -> bytes:
     return bytes([DICT]) + _U32.pack(card) + _U32.pack(len(dict_blob)) + dict_blob + idx_blob
 
 
+# ---------------------------------------------------------------------------
+# Canonical-Huffman codec (entropy coding over dictionary indices)
+# ---------------------------------------------------------------------------
+
+_HUFF_MAXBITS = 15  # LUT is 2^15 entries; package_merge length limit
+_HUFF_K = 128  # miniblock size: decode runs K vectorized steps, blocks in parallel
+_HUFF_MAX_CARD = 1 << 15
+
+
+def _canonical_codes(lengths: np.ndarray) -> np.ndarray:
+    """Canonical Huffman code assignment — the RFC1951 3-step procedure
+    (reference src/zopfli/tree.c:29-64), vectorized: codes within one length
+    class are consecutive integers in symbol order."""
+    maxlen = int(lengths.max())
+    bl_count = np.bincount(lengths, minlength=maxlen + 1)
+    bl_count[0] = 0
+    next_code = np.zeros(maxlen + 1, dtype=np.int64)
+    code = 0
+    for l in range(1, maxlen + 1):
+        code = (code + int(bl_count[l - 1])) << 1
+        next_code[l] = code
+    order = np.argsort(lengths, kind="stable")
+    sorted_len = lengths[order]
+    group_first = np.searchsorted(sorted_len, sorted_len)
+    codes = np.empty(len(lengths), dtype=np.int64)
+    codes[order] = next_code[sorted_len] + (np.arange(len(lengths)) - group_first)
+    return codes
+
+
+def _enc_huffman(v: np.ndarray, uniq: np.ndarray, inverse: np.ndarray, lengths: np.ndarray) -> bytes:
+    """Emit the canonical-Huffman bitstream over dictionary indices.
+
+    Entropy coding of the symbol stream with length-limited optimal code
+    lengths (reference src/zopfli/katajainen.c:191-283 via model.package_merge,
+    emission discipline of AddHuffmanBits, src/zopfli/deflate.c:49-83) —
+    fully vectorized: per-token code/length arrays, one bit-scatter pass per
+    code-length column, np.packbits. A bit offset is recorded every K tokens
+    so decode can run all miniblocks in parallel."""
+    codes = _canonical_codes(lengths)
+    tok_len = lengths[inverse]
+    tok_code = codes[inverse]
+    n = len(inverse)
+    offs = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(tok_len, out=offs[1:])
+    total_bits = int(offs[-1])
+    starts = offs[:-1]
+    bits = np.zeros(total_bits, dtype=np.uint8)
+    for j in range(int(tok_len.max())):
+        m = tok_len > j
+        bits[starts[m] + j] = (tok_code[m] >> (tok_len[m] - 1 - j)) & 1
+    payload = np.packbits(bits).tobytes()
+    offsets_blob = encode_simple(starts[::_HUFF_K])
+    dict_blob = encode_simple(uniq)
+    # the code-length table is itself entropy-coded (DEFLATE transmits its
+    # tree huffman-coded too — reference src/zopfli/deflate.c:118-293); the
+    # recursion terminates because the inner alphabet is ≤ maxbits symbols
+    len_tbl = encode_best(lengths, try_zlib=False)
+    return (
+        bytes([HUFFMAN])
+        + _U32.pack(len(uniq))
+        + _U32.pack(len(dict_blob))
+        + dict_blob
+        + bytes([int(lengths.max())])
+        + _U32.pack(len(len_tbl))
+        + len_tbl
+        + struct.pack("<H", _HUFF_K)
+        + _U32.pack(len(offsets_blob))
+        + offsets_blob
+        + _U32.pack(total_bits)
+        + payload
+    )
+
+
+def _dec_huffman(body: memoryview, n: int) -> np.ndarray:
+    """Vectorized canonical-Huffman decode: peek-LUT over every bit position
+    (code length + symbol resolved in O(1) per position), then all miniblocks
+    step through their tokens in parallel — K vectorized gathers total, no
+    per-token Python."""
+    (card,) = _U32.unpack(body[:4])
+    (db_len,) = _U32.unpack(body[4:8])
+    off = 8
+    dict_vals = decode_blob(bytes(body[off : off + db_len]), card)
+    off += db_len
+    maxlen = body[off]
+    off += 1
+    (lt_len,) = _U32.unpack(body[off : off + 4])
+    lengths = decode_blob(bytes(body[off + 4 : off + 4 + lt_len]), card)
+    off += 4 + lt_len
+    (K,) = struct.unpack("<H", body[off : off + 2])
+    off += 2
+    (ob_len,) = _U32.unpack(body[off : off + 4])
+    off += 4
+    n_blocks = max(1, (n + K - 1) // K)
+    block_offs = decode_blob(bytes(body[off : off + ob_len]), n_blocks)
+    off += ob_len
+    off += 4  # total_bits (implicit in the stepping; kept for forward compat)
+    # 32-bit sliding window over the payload: peek(p) needs only two gathers
+    # (W[p>>3] then shift/mask), so peek cost is O(tokens), not O(total_bits).
+    # Padding lets exhausted miniblocks keep stepping branchlessly past the
+    # end (≤ K·maxbits junk bits) — junk rows are sliced off at the end.
+    payload = np.frombuffer(body, dtype=np.uint8, offset=off).astype(np.uint32)
+    payload = np.concatenate([payload, np.zeros(K * _HUFF_MAXBITS // 8 + 4, dtype=np.uint32)])
+    W = (payload[:-3] << 24) | (payload[1:-2] << 16) | (payload[2:-1] << 8) | payload[3:]
+    L = int(maxlen)
+    codes = _canonical_codes(lengths)
+    # fused LUT: entry = (symbol << 4) | code_length — one gather per step
+    lut = np.ones(1 << L, dtype=np.int32)  # len=1 avoids inf-loop on junk peeks
+    order = np.argsort(lengths, kind="stable")
+    sorted_len = lengths[order]
+    for l in np.unique(sorted_len).tolist():
+        syms = order[sorted_len == l]
+        span = 1 << (L - l)
+        lo = int(codes[syms[0]]) << (L - l)
+        lut[lo : lo + len(syms) * span] = np.repeat(
+            (syms.astype(np.int32) << 4) | l, span
+        )
+    nb = len(block_offs)
+    pos = block_offs.astype(np.int64).copy()
+    base_shift = np.uint32(32 - L)
+    mask = np.uint32((1 << L) - 1)
+    out2d = np.empty((min(K, n), nb), dtype=np.int32)
+    for j in range(out2d.shape[0]):
+        q, r = np.divmod(pos, 8)
+        c = lut[(W[q] >> (base_shift - r.astype(np.uint32))) & mask]
+        out2d[j] = c
+        pos += c & 15
+    return dict_vals[(out2d.T.ravel()[:n]) >> 4]
+
+
 def encode_forced(v: np.ndarray, codec_name: str, *, zlib_level: int = 6) -> bytes:
     """Re-encode with a previously recorded winning codec — the lineage resume
     fast path (StatsDB hit, reference src/zopfli/deflate.c:1177-1211): skips
@@ -251,6 +387,10 @@ def encode_forced(v: np.ndarray, codec_name: str, *, zlib_level: int = 6) -> byt
     if codec_name in ("dict", "dict_rle"):
         uniq, inverse = np.unique(v, return_inverse=True)
         return _build_dict(v, uniq, inverse)
+    if codec_name == "huffman":
+        uniq, inverse = np.unique(v, return_inverse=True)
+        lengths = package_merge(np.bincount(inverse), _HUFF_MAXBITS)
+        return _enc_huffman(v, uniq, inverse, lengths)
     if codec_name == "plane_zlib":
         return _enc_plane_zlib(v, vmin, w_for, zlib_level)
     if codec_name == "zlib":
@@ -337,7 +477,31 @@ def encode_best(
                 candidates.append(blob)
                 best_size = len(blob)
 
-    # --- entropy-coded fallback (gated) ---------------------------------------
+    # --- entropy-coded candidates (gated) --------------------------------------
+    counts = None
+    if ok(HUFFMAN) and n >= 64:
+        # canonical Huffman over dict indices: exact payload bits are known
+        # analytically from (counts · code lengths) before any emission —
+        # the ZopfliCalculateBlockSize discipline (reference deflate.c:877-906)
+        if uniq is None:
+            uniq, inverse = np.unique(v, return_inverse=True)
+        card = len(uniq)
+        if 2 <= card <= _HUFF_MAX_CARD:
+            counts = np.bincount(inverse)
+            # two-stage lower bound (GetCostModelMinCost discipline): Shannon
+            # entropy bounds the Huffman payload from below, so a cheap gate
+            # runs before the package-merge; exact (counts · lengths) after.
+            lb_dict = 10 + (card - 1 + 7) // 8
+            fixed = 1 + 4 + 4 + lb_dict + 1 + 4 + 9 + 2 + 4 + 1 + 4
+            if fixed + int(_entropy_bits(counts)) // 8 < best_size:
+                lengths = package_merge(counts, _HUFF_MAXBITS)
+                payload_bits = int((counts * lengths).sum())
+                if fixed + (payload_bits + 7) // 8 < best_size:
+                    blob = _enc_huffman(v, uniq, inverse, lengths)
+                    if len(blob) < best_size:
+                        candidates.append(blob)
+                        best_size = len(blob)
+
     if try_zlib and ok(PLANE_ZLIB) and n >= 64:
         # run DEFLATE only when the bitpack-family best is still far above the
         # order-0 entropy bound — i.e. distributional structure remains that
@@ -345,7 +509,8 @@ def encode_best(
         # GetCostModelMinCost (reference src/zopfli/squeeze.c:201-236).
         if uniq is None:
             uniq, inverse = np.unique(v, return_inverse=True)
-        counts = np.bincount(inverse)
+        if counts is None:
+            counts = np.bincount(inverse)
         h_bytes = _entropy_bits(counts) / 8.0
         if best_size > h_bytes * 1.1:
             pz = _enc_plane_zlib(v, vmin, w_for, zlib_level)
@@ -422,6 +587,8 @@ def decode_blob(buf: bytes, n: int) -> np.ndarray:
             resid |= plane.astype(np.uint32) << np.uint32(8 * k)
             off += 4 + z_len
         return resid.astype(np.int64) + base
+    if tag == HUFFMAN:
+        return _dec_huffman(body, n)
     raise ValueError(f"unknown codec tag {tag}")
 
 

@@ -53,40 +53,39 @@ def package_merge(counts: np.ndarray, maxbits: int = 15) -> np.ndarray:
     if (1 << maxbits) < n:
         raise ValueError(f"maxbits={maxbits} too small for {n} symbols")
     order = nz_idx[np.argsort(counts[nz_idx], kind="stable")]
-    leaf_w = counts[order].astype(np.int64)
+    w = counts[order].astype(np.int64)  # ascending leaf weights
 
-    # items: (weight, leaf-count vector over the n sorted leaves)
-    leaves = [(int(leaf_w[i]), i) for i in range(n)]
-    level_items: list[tuple[int, np.ndarray]] = []
-    for _ in range(maxbits):
-        merged: list[tuple[int, np.ndarray]] = []
-        # package pairs from the previous (deeper) level
-        for j in range(0, len(level_items) - 1, 2):
-            w = level_items[j][0] + level_items[j + 1][0]
-            c = level_items[j][1] + level_items[j + 1][1]
-            merged.append((w, c))
-        # merge packages with the leaves of this level (stable by weight,
-        # leaves first on ties — reference comparator katajainen.c:168-189)
-        items: list[tuple[int, np.ndarray]] = []
-        li, mi = 0, 0
-        while li < n or mi < len(merged):
-            take_leaf = mi >= len(merged) or (
-                li < n and int(leaf_w[li]) <= merged[mi][0]
-            )
-            if take_leaf:
-                v = np.zeros(n, dtype=np.int64)
-                v[li] = 1
-                items.append((int(leaf_w[li]), v))
-                li += 1
-            else:
-                items.append(merged[mi])
-                mi += 1
-        level_items = items
-    # take the cheapest 2n-2 items of the top level; each inclusion of a
-    # leaf adds one bit to its depth
+    # Forward: round 1 items are the leaves; each later round packages the
+    # previous round's items pairwise and merges them with the leaves
+    # (stable by weight, leaves first on ties — reference comparator
+    # katajainen.c:168-189). Only the per-round cumulative leaf counts are
+    # kept: in a weight-sorted merge any prefix contains exactly the k
+    # smallest leaves, so a prefix's leaf *count* identifies its leaf *set*.
+    items_w = w
+    leaf_prefix: list[np.ndarray] = []
+    for _ in range(maxbits - 1):
+        m = len(items_w) // 2
+        pack_w = items_w[: 2 * m].reshape(-1, 2).sum(axis=1)
+        pos_leaf = np.searchsorted(pack_w, w, side="left") + np.arange(n)
+        total = n + m
+        is_leaf = np.zeros(total, dtype=bool)
+        is_leaf[pos_leaf] = True
+        new_w = np.empty(total, dtype=np.int64)
+        new_w[pos_leaf] = w
+        new_w[~is_leaf] = pack_w
+        leaf_prefix.append(np.cumsum(is_leaf))
+        items_w = new_w
+
+    # Backward: select the cheapest 2n-2 items of the final round; each
+    # selected leaf gains one bit of depth, each selected package demands
+    # two items from the round below.
     depth = np.zeros(n, dtype=np.int64)
-    for w, c in level_items[: 2 * n - 2]:
-        depth += c
+    sel = 2 * n - 2
+    for lp in reversed(leaf_prefix):
+        c = int(lp[sel - 1]) if sel > 0 else 0
+        depth[:c] += 1
+        sel = 2 * (sel - c)
+    depth[:sel] += 1  # round 1 is leaves only
     lengths[order] = depth
     return lengths
 
