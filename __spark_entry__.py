@@ -16,13 +16,39 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from zopfli_spark import EngineConfig, decode_table, encode_table, metrics_table
 from zopfli_spark.datagen import synth_tokens_df
 
-# small pages so even sf0.001/sf0.01 data exercises multi-page groups
-_CFG = EngineConfig(
-    page_budget_values=4_000,
-    group_budget_values=16_000,
-    giant_doc_values=8_000,
-    max_pages_per_group=16,
+# Geometry scales with the input's scale factor (VERDICT r1 #3: a fixed
+# sf0.01 geometry forced sf0.1 through ~40 tiny groups with a full codec
+# search each, making a correctness gate the slowest bench query). The
+# smallest sf keeps tiny pages so even 60-row tables exercise multi-page,
+# multi-group plans; larger sfs grow budgets proportionally so per-group
+# fixed overhead amortizes — the same reasoning a 100 TB run applies when
+# sizing groups off `sum(n_tok)` (plans/planner.py).
+_SF_CFG = (
+    # (max_sf, page_budget, group_budget, giant_doc)
+    (0.005, 4_000, 16_000, 8_000),
+    (0.05, 8_000, 32_000, 16_000),
+    (float("inf"), 32_000, 131_072, 65_536),
 )
+
+
+def _cfg_for(sf_dir: str) -> EngineConfig:
+    try:
+        sf = float(str(sf_dir).rstrip("/").rsplit("sf", 1)[-1])
+    except ValueError:
+        sf = 0.01
+    for max_sf, page, group, giant in _SF_CFG:
+        if sf < max_sf:
+            return EngineConfig(
+                page_budget_values=page,
+                group_budget_values=group,
+                giant_doc_values=giant,
+                max_pages_per_group=16,
+            )
+    raise AssertionError("unreachable")
+
+
+# legacy name used by the smallest-sf entry(); kept for tests
+_CFG = _cfg_for("/root/testdata/sf0.001")
 
 
 def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
@@ -45,10 +71,10 @@ def _lineitem_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _roundtrip_agg(docs: DataFrame) -> DataFrame:
+def _roundtrip_agg(docs: DataFrame, cfg: EngineConfig = _CFG) -> DataFrame:
     """encode → decode → per-doc aggregates over the DECODED arrays."""
-    pages = encode_table(docs, _CFG)
-    decoded = decode_table(pages, _CFG)
+    pages = encode_table(docs, cfg)
+    decoded = decode_table(pages, cfg)
     return decoded.select(
         "doc_id",
         F.size("tokens").cast("bigint").alias("n_dec"),
@@ -62,7 +88,7 @@ def _roundtrip_agg(docs: DataFrame) -> DataFrame:
 
 
 def q_roundtrip_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _roundtrip_agg(_lineitem_docs(spark, sf_dir))
+    return _roundtrip_agg(_lineitem_docs(spark, sf_dir), _cfg_for(sf_dir))
 
 
 def q_roundtrip_rle(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -74,7 +100,7 @@ def q_roundtrip_rle(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(64).cast("int").alias("n_tok"),
         F.lit("rle").alias("source"),
     )
-    return _roundtrip_agg(docs)
+    return _roundtrip_agg(docs, _cfg_for(sf_dir))
 
 
 def q_roundtrip_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -89,7 +115,7 @@ def q_roundtrip_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("tokens").cast("int").alias("n_tok"),
         F.lit("asc").alias("source"),
     )
-    return _roundtrip_agg(docs)
+    return _roundtrip_agg(docs, _cfg_for(sf_dir))
 
 
 def q_roundtrip_dict(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -109,12 +135,12 @@ def q_roundtrip_dict(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("events").alias("source"),
         )
     )
-    return _roundtrip_agg(docs)
+    return _roundtrip_agg(docs, _cfg_for(sf_dir))
 
 
 def q_pages_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row/value conservation through the page pipeline."""
-    pages = encode_table(_lineitem_docs(spark, sf_dir), _CFG)
+    pages = encode_table(_lineitem_docs(spark, sf_dir), _cfg_for(sf_dir))
     return pages.agg(
         F.sum("n_rows").cast("bigint").alias("total_rows"),
         F.sum("n_values").cast("bigint").alias("total_values"),
@@ -256,7 +282,8 @@ def q_setops_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     must be empty in BOTH directions (SURVEY §2.7) — pushed through the full
     encode→decode pipeline, per source."""
     docs = _lineitem_docs(spark, sf_dir)
-    decoded = decode_table(encode_table(docs, _CFG), _CFG)
+    cfg = _cfg_for(sf_dir)
+    decoded = decode_table(encode_table(docs, cfg), cfg)
     a = docs.select("doc_id", F.col("tokens").cast("string").alias("t"))
     b = decoded.select("doc_id", F.col("tokens").cast("string").alias("t"))
     return spark.createDataFrame(
@@ -268,7 +295,7 @@ def q_setops_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_metrics_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Metrics reporting surface: top pages by compression ratio (sort/limit;
     engine-internal values → rows-only driver check)."""
-    pages = encode_table(_lineitem_docs(spark, sf_dir), _CFG)
+    pages = encode_table(_lineitem_docs(spark, sf_dir), _cfg_for(sf_dir))
     return (
         pages.withColumn("ratio", F.col("raw_bytes") / F.col("enc_bytes"))
         .orderBy(F.col("ratio").desc(), "part_id", "page_id")
