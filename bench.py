@@ -39,8 +39,10 @@ def _mk_spark(cores: int, shuffle_partitions: int | None = None):
         # so worker count + the JVM's own threads (~7 cores of shuffle/Arrow
         # feed) match physical capacity — the cores-per-executor knob every
         # real deployment sets. Measured on this host: 32 workers on 32
-        # vCPUs inverts (3.1 Mtok/s) vs 16 workers (10.4 Mtok/s).
-        .config("spark.task.cpus", "2" if cores >= 16 else "1")
+        # vCPUs inverts (3.1 Mtok/s) vs 16 workers (10.4 Mtok/s). 16 workers
+        # on local[16] still fit under the ~24 effective cores, so the knob
+        # only engages strictly above 16.
+        .config("spark.task.cpus", "2" if cores > 16 else "1")
         # local-mode shuffle goes to local disk: lz4 is pure CPU overhead
         # competing with the workers (+15% encode at 32 cores when off).
         # A cluster with network shuffle keeps compression on.
@@ -90,10 +92,12 @@ def _encode_job(spark, n_docs: int, seed: int = 42, cfg=None) -> dict:
     t0 = time.perf_counter()
     pages = encode_table(df, cfg)
     agg = pages.agg(
-        F.sum("enc_bytes").alias("e"), F.sum("raw_bytes").alias("r"), F.count("*").alias("p")
+        F.sum("enc_bytes").alias("e"), F.sum("raw_bytes").alias("r"), F.count("*").alias("p"),
+        F.sum("enc_us").alias("us"), F.sum("enc_cpu_us").alias("cpu_us"),
     ).collect()[0]
     wall = time.perf_counter() - t0
     df.unpersist()
+    cpu_sec = int(agg["cpu_us"]) / 1e6  # process_time CPU inside the kernel
     return {
         "wall": wall,
         "tokens": total_tokens,
@@ -101,6 +105,14 @@ def _encode_job(spark, n_docs: int, seed: int = 42, cfg=None) -> dict:
         "enc_bytes": int(agg["e"]),
         "raw_bytes": int(agg["r"]),
         "pages": int(agg["p"]),
+        "kernel_wall_sec": int(agg["us"]) / 1e6,
+        "kernel_cpu_sec": cpu_sec,
+        # CPU-time-normalized per-worker throughput: tokens per kernel CPU
+        # second (process_time — immune to descheduling). Parallelism-
+        # independent for a contention-free engine: if this holds constant
+        # while wall efficiency drops, the gap is host capacity / scheduler,
+        # not engine serialization (ADVICE r1 medium).
+        "tokens_per_cpu_sec": total_tokens / max(cpu_sec, 1e-9),
     }
 
 
@@ -142,6 +154,13 @@ def _run_scaling(n_docs: int, lo: int, hi: int, n_runs: int = 3) -> dict:
         "wall_hi_sec": res[hi]["wall"],
         "tokens": res[lo]["tokens"],
         "efficiency": eff,
+        # per-worker CPU efficiency: tokens per kernel-CPU-second at hi vs lo.
+        # ~1.0 means each worker does identical work per CPU second at both
+        # parallelism levels (no engine-side serialization); wall efficiency
+        # below that is scheduler/host capacity, not the encode plan.
+        "tokens_per_cpu_sec_lo": res[lo]["tokens_per_cpu_sec"],
+        "tokens_per_cpu_sec_hi": res[hi]["tokens_per_cpu_sec"],
+        "cpu_efficiency": res[hi]["tokens_per_cpu_sec"] / res[lo]["tokens_per_cpu_sec"],
     }
 
 
@@ -201,14 +220,20 @@ def main() -> None:
 
     spark.stop()
 
-    # Primary N→4N pair: 2→8 cores, both far below host capacity, mirroring
-    # a cluster whose hosts are not oversubscribed. The 8→32 pair is also
-    # reported; on this sandbox the host provides ~24 effective cores (vCPU
-    # overcommit), which caps any CPU-bound engine's 8→32 ratio — see BENCH.md.
+    # Three N→4N pairs (north rule: efficiency ≥ 0.8 between two cluster
+    # sizes). 2→8 and 4→16 both sit under the host's ~24 effective cores
+    # (vCPU overcommit), mirroring a cluster whose hosts are not
+    # oversubscribed; 8→32 is reported for completeness but its hi side
+    # exceeds physical capacity on this sandbox — the cpu_efficiency field
+    # (tokens per kernel-CPU-second, constant across parallelism for a
+    # contention-free engine) separates host saturation from engine
+    # serialization. See BENCH.md.
     # big enough that fixed JVM/job costs do not dominate the 2-core wall
     scale_docs = min(max(n_docs, 2000), 24000)
     _log("scaling 2->8")
     scaling = _run_scaling(scale_docs, 2, 8, n_runs=3)
+    _log("scaling 4->16")
+    scaling_mid = _run_scaling(scale_docs, 4, 16, n_runs=3)
     _log("scaling 8->32")
     scaling_hi = _run_scaling(scale_docs, 8, min(cpus, 32), n_runs=2)
 
@@ -227,6 +252,7 @@ def main() -> None:
                 "compression_ratio": round(enc["raw_bytes"] / enc["enc_bytes"], 3),
                 "pages": enc["pages"],
                 "scaling": {k: (round(v, 4) if isinstance(v, float) else v) for k, v in scaling.items()},
+                "scaling_mid": {k: (round(v, 4) if isinstance(v, float) else v) for k, v in scaling_mid.items()},
                 "scaling_hi": {k: (round(v, 4) if isinstance(v, float) else v) for k, v in scaling_hi.items()},
             }
         )

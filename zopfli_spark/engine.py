@@ -37,7 +37,7 @@ from .squeeze import merge_pass, refine_boundaries
 PAGES_SCHEMA = (
     "part_id int, page_id int, codec string, n_rows int, n_values long, "
     "first_doc_id string, last_doc_id string, raw_bytes long, enc_bytes long, "
-    "checksum long, enc_us long, content_key long, content_hash_group long, "
+    "checksum long, enc_us long, enc_cpu_us long, content_key long, content_hash_group long, "
     "resumed int, header binary, payload binary"
 )
 
@@ -54,6 +54,7 @@ _PAGES_ARROW = pa.schema(
         ("enc_bytes", pa.int64()),
         ("checksum", pa.int64()),
         ("enc_us", pa.int64()),
+        ("enc_cpu_us", pa.int64()),
         ("content_key", pa.int64()),
         ("content_hash_group", pa.int64()),
         ("resumed", pa.int32()),
@@ -145,6 +146,7 @@ def _encode_group(
         row_bounds = np.unique(np.concatenate(([0], bounds, [len(lens)]))).astype(np.int64)
     val_offsets = np.concatenate(([0], np.cumsum(lens)))
     t_enc0 = time.perf_counter()
+    t_cpu0 = time.process_time()
 
     def encode_rows(r0: int, r1: int, forced: str | None = None, level: int | None = None):
         v0, v1 = int(val_offsets[r0]), int(val_offsets[r1])
@@ -219,6 +221,10 @@ def _encode_group(
             if not improved_any:
                 break
     enc_us_total = int((time.perf_counter() - t_enc0) * 1e6)
+    # process_time: actual CPU consumed by this worker — immune to
+    # descheduling, so (enc_us - enc_cpu_us) isolates scheduler/host
+    # contention from genuine per-token work in the scaling artifact
+    enc_cpu_us_total = int((time.process_time() - t_cpu0) * 1e6)
     total_values = max(int(val_offsets[-1]), 1)
     cols: dict[str, list] = {f.name: [] for f in _PAGES_ARROW}
     for page_id, (header, payload, codec, checksum) in enumerate(pages):
@@ -236,6 +242,7 @@ def _encode_group(
         cols["checksum"].append(checksum)
         # wall µs attributed by value share (search cost is group-level)
         cols["enc_us"].append(int(enc_us_total * (v1 - v0) / total_values))
+        cols["enc_cpu_us"].append(int(enc_cpu_us_total * (v1 - v0) / total_values))
         cols["content_key"].append(content_key)
         cols["content_hash_group"].append(content_hash)
         cols["resumed"].append(1 if forced_codecs else 0)
