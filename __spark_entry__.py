@@ -218,7 +218,9 @@ def q_ngram_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _read(spark, sf_dir, "documents")
     return (
-        ngram_jaccard_pairs(docs, k=8, threshold=0.15, bucket_cols=("lang",))
+        ngram_jaccard_pairs(
+            docs, k=8, threshold=0.15, bucket_cols=("lang",), max_shingle_df=250
+        )
         .select(
             F.col("id_a").cast("bigint").alias("id_a"),
             F.col("id_b").cast("bigint").alias("id_b"),
@@ -504,11 +506,13 @@ def oracle_sql() -> dict[str, str]:
             FROM f ORDER BY doc_id
         """,
         "ngram_near_dup": """
-            WITH sh AS (
+            WITH sh0 AS (
               SELECT DISTINCT d.doc_id, d.lang, substring(d.text, gs.i, 8) AS shingle
               FROM documents d,
                    LATERAL (SELECT unnest(generate_series(1, greatest(length(d.text) - 7, 0)))) AS gs(i)
             ),
+            keep AS (SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) <= 250),
+            sh AS (SELECT sh0.* FROM sh0 JOIN keep USING (shingle)),
             sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
             common AS (
               SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common

@@ -100,3 +100,25 @@ def test_brute_topk_is_deterministic_and_ranked(spark, embeddings):
         sub = r[r.query_id == q].sort_values("rank")
         assert list(sub["rank"]) == [1, 2, 3]
         assert list(sub.qdot) == sorted(sub.qdot, reverse=True)
+
+
+def test_stop_shingle_cap_bounds_viral_pairs(spark):
+    """A shingle present in EVERY doc (boilerplate header) must not create
+    all-pairs candidates when max_shingle_df is set; docs that only share
+    the viral shingle drop out entirely, while genuinely similar pairs
+    (sharing non-viral shingles) survive with Jaccard computed over the
+    capped shingle sets."""
+    viral = "BOILERPLATE-HEADER "
+    rows = [(i, viral + f"unique filler text number {i:04d} padding", "en") for i in range(40)]
+    rows += [(100, viral + "shared tail shared tail shared tail", "en"),
+             (101, viral + "shared tail shared tail shared tail", "en")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+    capped = ngram_jaccard_pairs(docs, k=8, threshold=0.1, max_shingle_df=5).toPandas()
+    # only the genuinely identical pair survives; no viral-only pairs
+    assert set(zip(capped.id_a, capped.id_b)) == {(100, 101)}
+    assert (capped.jaccard == 1.0).all()
+
+    # without the cap, the viral shingles alone connect every doc pair
+    uncapped = ngram_jaccard_pairs(docs, k=8, threshold=0.1).toPandas()
+    assert len(uncapped) > 100

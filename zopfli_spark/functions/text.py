@@ -61,6 +61,7 @@ def ngram_jaccard_pairs(
     k: int = 8,
     threshold: float = 0.5,
     bucket_cols: tuple[str, ...] = (),
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by exact n-gram Jaccard similarity.
 
@@ -68,13 +69,30 @@ def ngram_jaccard_pairs(
     shingle (never a cross join) → count common shingles per pair → join two
     small per-doc size aggregates → Jaccard = common / (|A| + |B| - common).
     ``bucket_cols`` (e.g. lang) further restricts candidates. All shuffles
-    are equi-key; skew on hot shingles is the known hazard — upstream should
-    drop stop-shingles (df > limit) the way web dedup pipelines do."""
+    are equi-key.
+
+    ``max_shingle_df`` is the stop-shingle guard (web-dedup practice): a
+    shingle appearing in more than this many documents is dropped from every
+    shingle set (sizes AND intersections — Jaccard semantics stay coherent)
+    before the self-join. Without it one viral shingle (a boilerplate
+    header, a template line) produces a quadratic hot-reducer blowup: the
+    self-join on that single key emits df² pairs into one task. The df
+    groupBy shuffles on the same key as the candidate join, so the guard
+    adds one co-partitioned aggregation, not a new shuffle shape."""
     sh = docs.select(
         F.col("doc_id"),
         *[F.col(c) for c in bucket_cols],
         F.explode(F.expr(_shingle_expr(text_col, k))).alias("shingle"),
     )
+    if max_shingle_df is not None:
+        # rows are distinct per (doc_id, shingle) — count(*) = doc frequency
+        keep = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") <= max_shingle_df)
+            .select("shingle")
+        )
+        sh = sh.join(keep, "shingle")
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.select(
         F.col("doc_id").alias("id_a"),
@@ -195,7 +213,7 @@ def simhash64(docs: DataFrame, text_col: str = "text", k: int = 4) -> DataFrame:
     for i in range(64):
         bit = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
         term = F.shiftleft(bit, i)
-        sim = term if sim is None else sim.bitwiseXOR(term) if False else sim + term
+        sim = term if sim is None else sim + term
     return agg.select("doc_id", sim.alias("simhash"))
 
 
