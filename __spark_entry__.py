@@ -246,9 +246,9 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup candidates with estimated Jaccard (xxhash64-based
-    — engine-specific hash, so rows-only driver check; recall is asserted
-    against exact Jaccard in tests/test_text.py)."""
+    """MinHash+LSH near-dup candidates with estimated Jaccard. Portable hash
+    mode (md5-prefix base hash + affine permutations mod 2^31-1) so the
+    DuckDB oracle replays signatures, banding, and the estimate exactly."""
     from zopfli_spark.functions.text import (
         lsh_candidate_pairs,
         minhash_jaccard_estimate,
@@ -256,26 +256,48 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _read(spark, sf_dir, "documents")
-    sigs = minhash_signatures(docs, k=8, n_hashes=32).cache()
-    pairs = lsh_candidate_pairs(sigs, n_hashes=32, bands=8)
-    return minhash_jaccard_estimate(sigs, pairs, n_hashes=32).orderBy("id_a", "id_b")
+    sigs = minhash_signatures(docs, k=8, n_hashes=32, hash_mode="portable").cache()
+    pairs = lsh_candidate_pairs(sigs, n_hashes=32, bands=8, hash_mode="portable")
+    return (
+        minhash_jaccard_estimate(sigs, pairs, n_hashes=32)
+        .select(
+            F.col("id_a").cast("bigint").alias("id_a"),
+            F.col("id_b").cast("bigint").alias("id_b"),
+            "jaccard_est",
+        )
+        .orderBy("id_a", "id_b")
+    )
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash per doc (xxhash64-based — rows-only driver check)."""
+    """SimHash per doc (portable 60-bit md5-prefix hash — oracle-replayable)."""
     from zopfli_spark.functions.text import simhash64
 
-    return simhash64(_read(spark, sf_dir, "documents"), k=4).orderBy("doc_id")
+    return (
+        simhash64(_read(spark, sf_dir, "documents"), k=4, hash_mode="portable")
+        .select(F.col("doc_id").cast("bigint").alias("doc_id"), "simhash")
+        .orderBy("doc_id")
+    )
 
 
 def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hyperplane-LSH approximate top-k (scale path; rows-only check — recall
-    vs brute force is asserted in tests/test_similarity.py)."""
+    """Hyperplane-LSH approximate top-k (scale path). Portable integer
+    hyperplanes over quantized vectors so the oracle replays bucketing,
+    multi-probe, and re-rank bit-identically."""
     from zopfli_spark.functions.similarity import lsh_topk
 
     emb = _read(spark, sf_dir, "embeddings")
-    return lsh_topk(emb.filter(F.col("vec_id") < 20), emb, k=3, dim=64).orderBy(
-        "query_id", "rank"
+    return (
+        lsh_topk(
+            emb.filter(F.col("vec_id") < 20), emb, k=3, dim=64, plane_mode="portable"
+        )
+        .select(
+            F.col("query_id").cast("bigint").alias("query_id"),
+            F.col("rank").cast("bigint").alias("rank"),
+            F.col("neighbor_id").cast("bigint").alias("neighbor_id"),
+            F.col("qdot").cast("bigint").alias("qdot"),
+        )
+        .orderBy("query_id", "rank")
     )
 
 
@@ -402,6 +424,122 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fingerprints": q_winnow_fingerprints,
         "media_features": q_media_features,
     }
+
+
+# --- oracle SQL generators for the portable-hash queries -------------------
+# (the SQL mirrors zopfli_spark/functions/text.py + similarity.py portable
+# modes term for term; constants must stay in sync with _permute_coeffs /
+# portable_planes)
+
+_M31 = 2147483647
+
+
+def _sql_simhash(n_bits: int = 60, k: int = 4) -> str:
+    votes = ",\n                   ".join(
+        f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(n_bits)
+    )
+    sim = "\n                 + ".join(
+        f"(CASE WHEN b{i} > 0 THEN (CAST(1 AS BIGINT) << {i}) ELSE CAST(0 AS BIGINT) END)"
+        for i in range(n_bits)
+    )
+    return f"""
+        WITH sh AS (
+          SELECT DISTINCT d.doc_id, substring(d.text, gs.i, {k}) AS shingle
+          FROM documents d,
+               LATERAL (SELECT unnest(generate_series(1, greatest(length(d.text) - {k - 1}, 0)))) AS gs(i)
+        ),
+        h AS (SELECT doc_id, CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) AS h FROM sh),
+        v AS (SELECT doc_id, {votes}
+              FROM h GROUP BY doc_id)
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               {sim} AS simhash
+        FROM v ORDER BY doc_id
+    """
+
+
+def _sql_minhash_lsh(n_hashes: int = 32, bands: int = 8, k: int = 8) -> str:
+    rows_per_band = n_hashes // bands
+    mins = []
+    for i in range(n_hashes):
+        a = (2654435761 * i + 1000003) % _M31
+        b = (40503 * i + 17) % _M31
+        mins.append(f"min(({a} * h0 + {b}) % {_M31}) AS h{i}")
+    mins_sql = ",\n               ".join(mins)
+    band_selects = []
+    for bnd in range(bands):
+        idx = range(bnd * rows_per_band, (bnd + 1) * rows_per_band)
+        joined = " || '-' || ".join(f"CAST(h{i} AS VARCHAR)" for i in idx)
+        band_selects.append(
+            f"SELECT doc_id, {bnd} AS band, "
+            f"CAST(('0x' || substr(md5({joined}), 1, 15)) AS BIGINT) AS bucket FROM sig"
+        )
+    bands_sql = "\n              UNION ALL ".join(band_selects)
+    agree = " + ".join(
+        f"(CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END)" for i in range(n_hashes)
+    )
+    return f"""
+        WITH sh AS (
+          SELECT DISTINCT d.doc_id, substring(d.text, gs.i, {k}) AS shingle
+          FROM documents d,
+               LATERAL (SELECT unnest(generate_series(1, greatest(length(d.text) - {k - 1}, 0)))) AS gs(i)
+        ),
+        hh AS (SELECT doc_id,
+                      CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) % {_M31} AS h0
+               FROM sh),
+        sig AS (SELECT doc_id, {mins_sql}
+                FROM hh GROUP BY doc_id),
+        bk AS ({bands_sql}),
+        pairs AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM bk a JOIN bk b ON a.band = b.band AND a.bucket = b.bucket
+                            AND a.doc_id < b.doc_id)
+        SELECT CAST(p.id_a AS BIGINT) AS id_a, CAST(p.id_b AS BIGINT) AS id_b,
+               ({agree}) / {float(n_hashes)} AS jaccard_est
+        FROM pairs p
+        JOIN sig sa ON sa.doc_id = p.id_a
+        JOIN sig sb ON sb.doc_id = p.id_b
+        ORDER BY id_a, id_b
+    """
+
+
+def _sql_lsh_ann_topk(n_planes: int = 6, n_tables: int = 8, kk: int = 3) -> str:
+    return f"""
+        WITH v AS (
+          SELECT vec_id, list_transform(embedding, x -> CAST(round(x * 1000) AS BIGINT)) AS qv
+          FROM embeddings),
+        bk AS (
+          SELECT vec_id, ts.t AS tbl,
+                 list_sum(list_transform(range({n_planes}), i ->
+                   CASE WHEN list_sum(list_transform(range(len(qv)), d ->
+                          qv[d + 1] * (((1315423911 * ts.t + 2654435761 * i + 97 * d) % 7) - 3))) > 0
+                        THEN (CAST(1 AS BIGINT) << i) ELSE CAST(0 AS BIGINT) END)) AS bucket
+          FROM v, (SELECT unnest(generate_series(0, {n_tables - 1})) AS t) ts),
+        qp AS (
+          SELECT vec_id AS query_id, tbl,
+                 unnest(list_prepend(bucket,
+                   list_transform(range({n_planes}), i -> xor(bucket, CAST(1 AS BIGINT) << i)))) AS bucket
+          FROM bk WHERE vec_id < 20),
+        cands AS (
+          SELECT DISTINCT qp.query_id, bk.vec_id AS neighbor_id
+          FROM qp JOIN bk ON qp.tbl = bk.tbl AND qp.bucket = bk.bucket
+          WHERE qp.query_id != bk.vec_id),
+        scored AS (
+          SELECT c.query_id, c.neighbor_id,
+                 CAST(list_sum(list_transform(range(len(qa.qv)), d ->
+                      qa.qv[d + 1] * qb.qv[d + 1])) AS BIGINT) AS qdot
+          FROM cands c
+          JOIN v qa ON qa.vec_id = c.query_id
+          JOIN v qb ON qb.vec_id = c.neighbor_id),
+        ranked AS (
+          SELECT query_id, neighbor_id, qdot,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY qdot DESC, neighbor_id ASC) AS rank
+          FROM scored)
+        SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS BIGINT) AS rank,
+               CAST(neighbor_id AS BIGINT) AS neighbor_id, qdot
+        FROM ranked WHERE rank <= {kk} ORDER BY query_id, rank
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -576,6 +714,9 @@ def oracle_sql() -> dict[str, str]:
                    CAST(1 AS BIGINT) AS n_frames_sampled
             FROM documents ORDER BY media_id
         """,
+        "simhash": _sql_simhash(),
+        "minhash_lsh_pairs": _sql_minhash_lsh(),
+        "lsh_ann_topk": _sql_lsh_ann_topk(),
         "ann_topk": """
             WITH q AS (
               SELECT vec_id AS query_id,

@@ -122,3 +122,33 @@ def test_stop_shingle_cap_bounds_viral_pairs(spark):
     # without the cap, the viral shingles alone connect every doc pair
     uncapped = ngram_jaccard_pairs(docs, k=8, threshold=0.1).toPandas()
     assert len(uncapped) > 100
+
+
+def test_portable_hash_modes_match_semantics(spark, near_dup_docs):
+    """Portable (oracle-replayable) hash modes must preserve the sketch
+    semantics: exact duplicates agree on the full minhash signature and
+    simhash; LSH candidates still recall the exact-duplicate pairs."""
+    sigs = minhash_signatures(near_dup_docs, k=8, n_hashes=32, hash_mode="portable").cache()
+    cands = lsh_candidate_pairs(sigs, n_hashes=32, bands=8, hash_mode="portable")
+    est = minhash_jaccard_estimate(sigs, cands, n_hashes=32).toPandas()
+    exact = est[(est.id_b - est.id_a == 1) & (est.id_a % 3 == 0)]
+    assert len(exact) == 20 and (exact.jaccard_est == 1.0).all()
+
+    sh = simhash64(near_dup_docs, k=4, hash_mode="portable").toPandas()
+    assert (sh.simhash < (1 << 60)).all() and sh.simhash.nunique() > 1
+    by_id = dict(zip(sh.doc_id, sh.simhash))
+    assert all(by_id[3 * t] == by_id[3 * t + 1] for t in range(20))
+
+
+def test_lsh_topk_requires_dim(spark, embeddings):
+    with pytest.raises(ValueError, match="dim"):
+        lsh_topk(embeddings.limit(1), embeddings, k=3)
+
+
+def test_lsh_topk_portable_planes_recall(spark, embeddings):
+    queries = embeddings.filter(F.col("vec_id") < 10)
+    exact = brute_topk(queries, embeddings, k=3).toPandas()
+    approx = lsh_topk(queries, embeddings, k=3, dim=64, plane_mode="portable").toPandas()
+    truth = set(zip(exact.query_id, exact.neighbor_id))
+    got = set(zip(approx.query_id, approx.neighbor_id))
+    assert len(got & truth) / len(truth) >= 0.5

@@ -75,6 +75,18 @@ def hyperplanes(dim: int, n_planes: int = 16, seed: int = 42) -> list[list[float
     return rng.standard_normal((n_planes, dim)).tolist()
 
 
+def portable_planes(dim: int, n_planes: int, table: int) -> list[list[int]]:
+    """Small-integer hyperplanes from a closed-form arithmetic formula —
+    weight(t, i, d) = ((1315423911·t + 2654435761·i + 97·d) mod 7) − 3,
+    values in [−3, 3]. Exactly replayable in ANSI SQL (the DuckDB oracle
+    recomputes the identical buckets), and integer dot products over the
+    quantized vectors avoid any float-order divergence across engines."""
+    return [
+        [((1315423911 * table + 2654435761 * i + 97 * d) % 7) - 3 for d in range(dim)]
+        for i in range(n_planes)
+    ]
+
+
 def lsh_buckets(
     df: DataFrame,
     planes: list[list[float]],
@@ -95,6 +107,28 @@ def lsh_buckets(
     return df.select(F.col(id_col), F.col(vec_col), bucket.alias("bucket"))
 
 
+def lsh_buckets_q(
+    df: DataFrame,
+    planes: list[list[int]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Integer-exact sign-bit buckets over the quantized vector (⌊x·1000⌉):
+    bit i = [Σ_d qvec_d · w_id > 0], all bigint arithmetic — identical in
+    any engine. JVM-side, no UDF, no shuffle."""
+    q = quantize(df, vec_col)
+    bucket = F.lit(0).cast("long")
+    for i, p in enumerate(planes):
+        lit_plane = F.array(*[F.lit(int(x)).cast("bigint") for x in p])
+        dot = F.aggregate(
+            F.zip_with(F.col("qvec"), lit_plane, lambda x, y: x.cast("bigint") * y),
+            F.lit(0).cast("bigint"),
+            lambda acc, v: acc + v,
+        )
+        bucket = bucket + F.when(dot > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0))
+    return q.select(F.col(id_col), F.col(vec_col), bucket.alias("bucket"))
+
+
 def lsh_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -105,24 +139,40 @@ def lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    plane_mode: str = "normal",
 ) -> DataFrame:
     """Approximate top-k: multi-table hyperplane LSH (L independent tables of
     b sign bits, Indyk-Motwani style) with one-bit multi-probe; candidates
     from bucket collisions (equi-join on (table, bucket)), exact quantized
-    re-rank. At 100 TB the bucket join replaces the full cross product."""
+    re-rank. At 100 TB the bucket join replaces the full cross product.
+
+    ``dim`` is required (no driver-side data probe — a `.first()` here would
+    add a blocking job per call). ``plane_mode='portable'`` swaps the
+    gaussian hyperplanes for :func:`portable_planes` so the DuckDB oracle
+    can replay bucketing bit-identically."""
     if dim is None:
-        dim = len(corpus.select(vec_col).first()[0])
+        raise ValueError(
+            "lsh_topk requires dim (embedding dimensionality); pass it "
+            "explicitly — inferring it would run a blocking driver-side job"
+        )
 
     def buckets_for(df: DataFrame, out_id: str) -> DataFrame:
         parts = []
         for t in range(n_tables):
-            planes = hyperplanes(dim, n_planes, seed + 1000 * t)
-            b = lsh_buckets(df, planes, id_col, vec_col).select(
-                F.col(id_col).alias(out_id),
-                F.lit(t).alias("tbl"),
-                F.col("bucket"),
+            if plane_mode == "portable":
+                b = lsh_buckets_q(
+                    df, portable_planes(dim, n_planes, t), id_col, vec_col
+                )
+            else:
+                planes = hyperplanes(dim, n_planes, seed + 1000 * t)
+                b = lsh_buckets(df, planes, id_col, vec_col)
+            parts.append(
+                b.select(
+                    F.col(id_col).alias(out_id),
+                    F.lit(t).alias("tbl"),
+                    F.col("bucket"),
+                )
             )
-            parts.append(b)
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)

@@ -131,32 +131,82 @@ def ngram_jaccard_pairs(
 # ---------------------------------------------------------------------------
 
 
+# portable-hash constants: md5-prefix base hash + affine permutations mod a
+# Mersenne prime — every term computable bit-identically in ANSI SQL (the
+# DuckDB oracle replays the full pipeline), unlike engine-native xxhash64
+_MERSENNE31 = 2147483647  # 2^31 - 1
+_PORTABLE_H0 = (
+    "pmod(cast(conv(substring(md5(shingle), 1, 15), 16, 10) as bigint), 2147483647)"
+)
+
+
+def _permute_coeffs(i: int) -> tuple[int, int]:
+    """Deterministic affine-permutation coefficients for hash i (public
+    universal-hashing construction h_i(x) = (a_i·x + b_i) mod p)."""
+    a = (2654435761 * i + 1000003) % _MERSENNE31
+    b = (40503 * i + 17) % _MERSENNE31
+    return a, b
+
+
 def minhash_signatures(
-    docs: DataFrame, text_col: str = "text", k: int = 8, n_hashes: int = 32
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int = 8,
+    n_hashes: int = 32,
+    hash_mode: str = "xxhash",
 ) -> DataFrame:
-    """MinHash signature per doc: min over shingles of xxhash64(shingle, seed)
-    for each of ``n_hashes`` seeds (Broder '97 resemblance sketch — public
-    algorithm). One aggregation; no UDF."""
+    """MinHash signature per doc: min over shingles of hash_i(shingle) for
+    each of ``n_hashes`` hash functions (Broder '97 resemblance sketch —
+    public algorithm). One aggregation; no UDF.
+
+    ``hash_mode='xxhash'`` (default) uses engine-native xxhash64(shingle, i).
+    ``hash_mode='portable'`` uses affine permutations of an md5-prefix base
+    hash mod 2^31-1 — bit-identical in ANSI SQL, so the driver's DuckDB
+    oracle can replay the whole signature (correctness gate)."""
     sh = shingle_df(docs, text_col, k)
-    mins = [
-        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
-        for i in range(n_hashes)
-    ]
+    if hash_mode == "portable":
+        h0 = F.expr(_PORTABLE_H0)
+        mins = []
+        for i in range(n_hashes):
+            a, b = _permute_coeffs(i)
+            mins.append(
+                F.min(
+                    F.pmod(F.lit(a).cast("bigint") * h0 + F.lit(b), F.lit(_MERSENNE31))
+                ).alias(f"h{i}")
+            )
+    else:
+        mins = [
+            F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
+            for i in range(n_hashes)
+        ]
     return sh.groupBy("doc_id").agg(*mins)
 
 
 def lsh_candidate_pairs(
-    signatures: DataFrame, n_hashes: int = 32, bands: int = 8
+    signatures: DataFrame, n_hashes: int = 32, bands: int = 8,
+    hash_mode: str = "xxhash",
 ) -> DataFrame:
     """Banded-LSH candidate pairs: hash each band of the signature to a
     bucket; docs sharing any band-bucket are candidates. Equi-join on
-    (band, bucket) — the scale path that avoids all-pairs."""
+    (band, bucket) — the scale path that avoids all-pairs.
+
+    ``hash_mode='portable'`` buckets with an md5 over the dash-joined band
+    values (identical string + md5 semantics in DuckDB), so the oracle can
+    reproduce candidate generation exactly."""
     rows_per_band = n_hashes // bands
     band_cols = []
     for bnd in range(bands):
-        cols = [F.col(f"h{i}") for i in range(bnd * rows_per_band, (bnd + 1) * rows_per_band)]
+        idx = range(bnd * rows_per_band, (bnd + 1) * rows_per_band)
+        cols = [F.col(f"h{i}") for i in idx]
+        if hash_mode == "portable":
+            joined = ", ".join(f"cast(h{i} as string)" for i in idx)
+            bucket = F.expr(
+                f"cast(conv(substring(md5(concat_ws('-', {joined})), 1, 15), 16, 10) as bigint)"
+            )
+        else:
+            bucket = F.xxhash64(*cols)
         band_cols.append(
-            F.struct(F.lit(bnd).alias("band"), F.xxhash64(*cols).alias("bucket"))
+            F.struct(F.lit(bnd).alias("band"), bucket.alias("bucket"))
         )
     buckets = signatures.select(
         "doc_id", F.explode(F.array(*band_cols)).alias("bb")
@@ -196,21 +246,31 @@ def minhash_jaccard_estimate(
 # ---------------------------------------------------------------------------
 
 
-def simhash64(docs: DataFrame, text_col: str = "text", k: int = 4) -> DataFrame:
-    """64-bit SimHash (Charikar '02) over k-gram shingles, no UDF: per bit,
-    majority vote of shingle-hash bits via sign of sum(±1)."""
-    sh = shingle_df(docs, text_col, k).withColumn(
-        "h", F.xxhash64("shingle")
-    )
+def simhash64(
+    docs: DataFrame, text_col: str = "text", k: int = 4, hash_mode: str = "xxhash"
+) -> DataFrame:
+    """SimHash (Charikar '02) over k-gram shingles, no UDF: per bit,
+    majority vote of shingle-hash bits via sign of sum(±1).
+
+    ``hash_mode='xxhash'`` → 64-bit simhash from xxhash64 (engine-native).
+    ``hash_mode='portable'`` → 60-bit simhash from the md5-prefix hash
+    (15 hex chars), replayable bit-identically in the DuckDB oracle."""
+    if hash_mode == "portable":
+        n_bits = 60
+        h = F.expr("cast(conv(substring(md5(shingle), 1, 15), 16, 10) as bigint)")
+    else:
+        n_bits = 64
+        h = F.xxhash64("shingle")
+    sh = shingle_df(docs, text_col, k).withColumn("h", h)
     votes = [
         F.sum(
             F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
         ).alias(f"b{i}")
-        for i in range(64)
+        for i in range(n_bits)
     ]
     agg = sh.groupBy("doc_id").agg(*votes)
     sim = None
-    for i in range(64):
+    for i in range(n_bits):
         bit = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
         term = F.shiftleft(bit, i)
         sim = term if sim is None else sim + term
