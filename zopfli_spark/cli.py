@@ -44,17 +44,29 @@ def _config(args):
         zlib_level=args.zlib_level,
         iterations=args.iterations,
         seed=args.seed,
+        hints_additional_split=getattr(args, "aas", False),
     )
 
 
 def cmd_encode(args) -> int:
-    from .sources.store import encode_to_store
+    from .sources.store import encode_to_store, read_pages
 
     spark = _spark(args)
     df = spark.read.parquet(args.input)
+    hints = spark.read.parquet(args.split_hints) if args.split_hints else None
     t0 = time.time()
-    m = encode_to_store(df, args.output, _config(args), run_id=args.run_id)
+    m = encode_to_store(
+        df, args.output, _config(args), run_id=args.run_id, split_hints=hints
+    )
     rows = m.collect()
+    if args.export_hints:
+        # predefined-splits out-side (--cbs in/out contract): chosen page
+        # boundaries exported as a hints table for later runs
+        from .lineage import split_hints_from_pages
+
+        split_hints_from_pages(read_pages(spark, args.output)).write.mode(
+            "overwrite"
+        ).parquet(args.export_hints)
     wall = time.time() - t0
     out = {
         "run_id": args.run_id,
@@ -125,6 +137,12 @@ def main(argv: list[str] | None = None) -> int:
     enc = sub.add_parser("encode", help="encode a tokens parquet into a page store")
     enc.add_argument("--input", required=True)
     enc.add_argument("--output", required=True)
+    enc.add_argument("--split-hints", default=None,
+                     help="parquet of predefined split points (--cbsfile analog)")
+    enc.add_argument("--export-hints", default=None,
+                     help="write chosen boundaries as a hints parquet (in-out contract)")
+    enc.add_argument("--aas", action="store_true",
+                     help="additionally cost-split within hinted segments (--aas analog)")
 
     dec = sub.add_parser("decode", help="decode a page store back to tokens parquet")
     dec.add_argument("--input", required=True, help="store root")

@@ -40,6 +40,10 @@ class EngineConfig:
     #: recompression passes (--pass analog, reference src/zopfli/deflate.c:
     #: 1728-1836): re-encode worst-ratio pages at zlib level 9, keep if smaller
     recompress_passes: int = 1
+    #: with split hints supplied to encode_table: also run the cost splitter
+    #: WITHIN each hinted segment (--aas "additional auto splitting" analog,
+    #: reference src/zopfli/deflate.c:1860-1884); hinted points always survive
+    hints_additional_split: bool = False
     #: deterministic seed; combined with content hashes so re-runs (and runs
     #: at different parallelism) produce byte-identical streams
     seed: int = 42

@@ -28,7 +28,12 @@ from pyspark.sql import DataFrame, functions as F
 
 from .config import DEFAULT_CONFIG, EngineConfig
 from .deploy import ensure_shipped
-from .lineage import group_content_hash, lineage_dict, struct_plan_to_pages
+from .lineage import (
+    group_content_hash,
+    hints_dict,
+    lineage_dict,
+    struct_plan_to_pages,
+)
 from .operators.pagecodec import decode_page, encode_page
 from .pages import split_by_cost, split_simple
 from .plans.planner import GROUP_COL, ROW_HASH_COL, plan_groups
@@ -95,6 +100,7 @@ def _encode_group(
     config: EngineConfig,
     lin: dict | None = None,
     plan_tbl: pa.Table | None = None,
+    hints: dict | None = None,
 ) -> pa.Table:
     """Encode one group → page rows. Pure function of group content (sorted
     by doc_id), so output is identical at any parallelism — the seeded
@@ -126,6 +132,7 @@ def _encode_group(
         if rec is not None and rec[0] == content_hash:
             plan = rec[1]
     forced_codecs: list[str] | None = None
+    val_offsets = np.concatenate(([0], np.cumsum(lens)))
     if plan is not None:
         # lineage hit: reuse recorded page boundaries + codecs (StatsDB fast
         # path, reference src/zopfli/deflate.c:1177-1211) — skips split search
@@ -136,7 +143,42 @@ def _encode_group(
             forced_codecs = [p[1] for p in page_plan]
         else:  # stale plan (hash collision or schema drift): fall through
             plan = None
-    if plan is None:
+    hinted = False
+    if plan is None and hints:
+        # predefined split points (--cbs/--cbsfile analog, reference
+        # src/zopfli/zopfli.h:161-178, deflate.c:1672-1715): honor the given
+        # ROW boundaries exactly — skip the split search AND the boundary-
+        # moving squeeze/merge passes; the codec argmin still runs per page
+        # (blocks still get their tree search in the reference). Hints are
+        # content-addressed like lineage, verified by the strong hash.
+        rec = hints.get(content_key)
+        if rec is not None and rec[0] == content_hash:
+            hb = np.asarray(rec[1], dtype=np.int64)
+            if len(hb) == 0 or (hb.min() > 0 and hb.max() < len(lens)):
+                row_bounds = np.unique(
+                    np.concatenate(([0], hb, [len(lens)]))
+                ).astype(np.int64)
+                if config.hints_additional_split:
+                    # --aas analog (deflate.c:1860-1884): also cost-split
+                    # WITHIN each hinted segment; hinted points survive.
+                    extra: list[int] = []
+                    for k in range(len(row_bounds) - 1):
+                        s, e = int(row_bounds[k]), int(row_bounds[k + 1])
+                        if e - s > 1:
+                            v0, v1 = int(val_offsets[s]), int(val_offsets[e])
+                            sub = split_by_cost(
+                                values[v0:v1],
+                                lens[s:e],
+                                config.page_budget_values,
+                                config.max_pages_per_group,
+                            )
+                            extra.extend(int(x) + s for x in sub)
+                    if extra:
+                        row_bounds = np.unique(
+                            np.concatenate((row_bounds, np.asarray(extra, dtype=np.int64)))
+                        )
+                hinted = True
+    if plan is None and not hinted:
         if config.split_mode == "cost" and len(lens) > 1:
             bounds = split_by_cost(
                 values, lens, config.page_budget_values, config.max_pages_per_group
@@ -144,7 +186,6 @@ def _encode_group(
         else:
             bounds = split_simple(lens, config.page_budget_values)
         row_bounds = np.unique(np.concatenate(([0], bounds, [len(lens)]))).astype(np.int64)
-    val_offsets = np.concatenate(([0], np.cumsum(lens)))
     t_enc0 = time.perf_counter()
     t_cpu0 = time.process_time()
 
@@ -170,7 +211,7 @@ def _encode_group(
         for k in range(len(row_bounds) - 1)
     ]
     refine_worthwhile = False
-    if forced_codecs is None and len(pages) >= 3:
+    if forced_codecs is None and not hinted and len(pages) >= 3:
         sizes = np.array([len(h) + len(p) for h, p, _, _ in pages], dtype=np.float64)
         nv = np.maximum(np.diff(val_offsets[row_bounds]), 1)
         bpv = sizes / nv
@@ -179,7 +220,7 @@ def _encode_group(
         # 917-934: the expensive fixed-tree re-parse runs only on small or
         # ambiguous blocks)
         refine_worthwhile = float(np.max(bpv)) > 1.2 * float(np.median(bpv))
-    if forced_codecs is None and refine_worthwhile:
+    if forced_codecs is None and not hinted and refine_worthwhile:
         # squeeze loop: seeded perturb-and-keep-best boundary refinement +
         # keep-if-smaller merge pass (reference src/zopfli/squeeze.c:511-655,
         # deflate.c:1728-1836)
@@ -192,7 +233,7 @@ def _encode_group(
             max_unsuccessful=config.max_unsuccessful,
             seed_key=(config.seed, content_hash & 0x7FFFFFFFFFFFFFFF),
         )
-    if forced_codecs is None:
+    if forced_codecs is None and not hinted:
         row_bounds, pages, _ = merge_pass(
             row_bounds,
             pages,
@@ -245,7 +286,7 @@ def _encode_group(
         cols["enc_cpu_us"].append(int(enc_cpu_us_total * (v1 - v0) / total_values))
         cols["content_key"].append(content_key)
         cols["content_hash_group"].append(content_hash)
-        cols["resumed"].append(1 if forced_codecs else 0)
+        cols["resumed"].append(1 if forced_codecs else (2 if hinted else 0))
         cols["header"].append(header)
         cols["payload"].append(payload)
     return pa.table(
@@ -258,6 +299,7 @@ def encode_table(
     df: DataFrame,
     config: EngineConfig = DEFAULT_CONFIG,
     lineage=None,
+    split_hints=None,
 ) -> DataFrame:
     """Encode a tokens table → encoded-pages DataFrame (lazy).
 
@@ -265,9 +307,18 @@ def encode_table(
     One wide exchange (the group-by); the per-group search runs inside an
     Arrow-vectorized applyInArrow — Spark tasks play the role of the
     reference's block threads (src/zopfli/deflate.c:1414-1614) with stable
-    (part_id, page_id) ordering instead of the in-order merge."""
+    (part_id, page_id) ordering instead of the in-order merge.
+
+    ``split_hints`` (the ZopfliPredefinedSplits in-side, reference
+    src/zopfli/zopfli.h:161-178): DataFrame or dict of content-addressed
+    row-boundary hints (see lineage.split_hints_from_pages for the out-side).
+    A hint whose strong hash matches the group's content pins the page
+    boundaries exactly (codec argmin still runs); stale hints are ignored.
+    Hints are boundary lists, ~bytes per group — broadcast-sized at any data
+    scale (unlike lineage plans, which ride the cogroup join)."""
     ensure_shipped(df.sparkSession)
     grouped, _ = plan_groups(df, config)
+    hints = hints_dict(split_hints)
     if lineage is not None and isinstance(lineage, DataFrame):
         # scalable resume: no driver collect — per-group content keys are
         # aggregated JVM-side, equi-joined against the lineage table, and the
@@ -292,13 +343,16 @@ def encode_table(
             grouped.groupBy(GROUP_COL)
             .cogroup(plans.groupBy(GROUP_COL))
             .applyInArrow(
-                lambda left, right: _encode_group(left, config, plan_tbl=right),
+                lambda left, right: _encode_group(
+                    left, config, plan_tbl=right, hints=hints
+                ),
                 schema=PAGES_SCHEMA,
             )
         )
     lin = lineage_dict(lineage)
     return grouped.groupBy(GROUP_COL).applyInArrow(
-        lambda tbl: _encode_group(tbl, config, lin), schema=PAGES_SCHEMA
+        lambda tbl: _encode_group(tbl, config, lin, hints=hints),
+        schema=PAGES_SCHEMA,
     )
 
 

@@ -102,3 +102,47 @@ def struct_plan_to_pages(plan: str) -> list[tuple[int, str]]:
     arr = json.loads(plan)
     arr.sort(key=lambda d: d["page_id"])
     return [(int(d["n_rows"]), str(d["codec"])) for d in arr]
+
+
+HINTS_SCHEMA = "content_key long, content_hash long, boundaries string"
+
+
+def split_hints_from_pages(pages: DataFrame) -> DataFrame:
+    """Export chosen page boundaries as split hints — the out-side of the
+    predefined-splits contract (reference src/zopfli/deflate.c:1860-1884
+    returns the splitpoints it used). One row per group: content-addressed
+    keys + the interior ROW boundaries as a JSON array, feedable back into
+    ``encode_table(split_hints=...)`` to reproduce the same page geometry
+    (e.g. across a config change that would otherwise re-search splits)."""
+    sorted_pages = F.array_sort(F.collect_list(F.struct("page_id", "n_rows")))
+    nrows = F.transform(sorted_pages, lambda s: s["n_rows"].cast("long"))
+    # prefix sums minus the final total = interior boundaries
+    prefix = F.aggregate(
+        nrows,
+        F.array().cast("array<long>"),
+        lambda acc, x: F.concat(
+            acc, F.array(F.coalesce(F.try_element_at(acc, F.lit(-1)), F.lit(0).cast("long")) + x)
+        ),
+    )
+    boundaries = F.slice(prefix, 1, F.greatest(F.size(nrows) - 1, F.lit(0)))
+    return (
+        pages.groupBy(
+            "content_key", F.col("content_hash_group").alias("content_hash")
+        )
+        .agg(F.to_json(boundaries).alias("boundaries"))
+    )
+
+
+def hints_dict(hints: DataFrame | dict | None) -> dict:
+    """{content_key: (content_hash, [row boundaries])} — driver-side
+    broadcastable (a hint row is a few dozen bytes per multi-million-value
+    group, so even a 10^12-sequence run broadcasts comfortably)."""
+    if hints is None:
+        return {}
+    if isinstance(hints, dict):
+        return hints
+    rows = hints.select("content_key", "content_hash", "boundaries").collect()
+    return {
+        int(r["content_key"]): (int(r["content_hash"]), json.loads(r["boundaries"]))
+        for r in rows
+    }

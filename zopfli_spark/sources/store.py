@@ -69,14 +69,16 @@ def encode_to_store(
     root: str,
     config: EngineConfig = DEFAULT_CONFIG,
     run_id: str = "run",
+    split_hints: DataFrame | dict | None = None,
 ) -> DataFrame:
     """End-to-end encode with resume: load lineage if present, encode (hits
-    skip the search), write pages + lineage + metrics. Returns the metrics."""
+    skip the search), write pages + lineage + metrics. Returns the metrics.
+    ``split_hints`` pins page boundaries (see engine.encode_table)."""
     from ..engine import encode_table, metrics_table
 
     spark = df.sparkSession
     lineage = read_lineage(spark, root)
-    pages = encode_table(df, config, lineage=lineage)
+    pages = encode_table(df, config, lineage=lineage, split_hints=split_hints)
     write_pages(pages, root)
     pages_on_disk = read_pages(spark, root)
     append_lineage(pages_on_disk, root, config)
