@@ -45,6 +45,7 @@ def _config(args):
         iterations=args.iterations,
         seed=args.seed,
         hints_additional_split=getattr(args, "aas", False),
+        mode_grid=getattr(args, "all", False),
     )
 
 
@@ -143,6 +144,9 @@ def main(argv: list[str] | None = None) -> int:
                      help="write chosen boundaries as a hints parquet (in-out contract)")
     enc.add_argument("--aas", action="store_true",
                      help="additionally cost-split within hinted segments (--aas analog)")
+    enc.add_argument("--all", action="store_true",
+                     help="mode-grid search: retry alternate split strategies on "
+                          "ambiguous groups, keep smallest (--all analog; ~2.4x CPU)")
 
     dec = sub.add_parser("decode", help="decode a page store back to tokens parquet")
     dec.add_argument("--input", required=True, help="store root")

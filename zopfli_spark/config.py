@@ -40,6 +40,13 @@ class EngineConfig:
     #: recompression passes (--pass analog, reference src/zopfli/deflate.c:
     #: 1728-1836): re-encode worst-ratio pages at zlib level 9, keep if smaller
     recompress_passes: int = 1
+    #: mode-grid search (--all analog, reference src/zopfli/deflate.c:
+    #: 1326-1342, opt-in there too): on groups whose realized cost exceeds a
+    #: per-doc achievable estimate, retry alternate split strategies and
+    #: keep the strictly smallest result. Measured on the synth mixture:
+    #: +2.8%% ratio for ~2.4x encode CPU — the classic Zopfli trade, so the
+    #: default mirrors the reference's opt-in
+    mode_grid: bool = False
     #: with split hints supplied to encode_table: also run the cost splitter
     #: WITHIN each hinted segment (--aas "additional auto splitting" analog,
     #: reference src/zopfli/deflate.c:1860-1884); hinted points always survive
@@ -62,6 +69,7 @@ class EngineConfig:
         bits |= (self.iterations & 0xFF) << 6
         bits |= (self.max_unsuccessful & 0xF) << 14
         bits |= (self.recompress_passes & 0x3) << 18
+        bits |= (1 if self.mode_grid else 0) << 20
         return bits
 
 

@@ -241,6 +241,105 @@ def _encode_group(
             encode_rows,
             page_budget_values=config.page_budget_values,
         )
+        # mode grid (--all analog, reference src/zopfli/deflate.c:1326-1342:
+        # try every search-mode combo per block, keep the best): on groups
+        # the main pass left AMBIGUOUS — uneven page costs or a poor overall
+        # ratio — re-run the search under alternate split strategies and keep
+        # the strictly smallest total. Content-pure, so deterministic at any
+        # parallelism; the gate keeps the grid off the common path.
+        sizes_now = np.array([len(h) + len(p) for h, p, _, _ in pages], dtype=np.float64)
+        nv_now = np.maximum(np.diff(val_offsets[row_bounds]), 1)
+        bpv_now = sizes_now / nv_now
+        total_now = float(sizes_now.sum())
+        # "ambiguous" = the realized cost sits well above what a PER-DOC
+        # achievable estimate says the content supports. A poor ratio alone
+        # is not enough (near-random data is poor AND unimprovable), and a
+        # whole-group entropy sample is blind to the order structure (runs,
+        # ascending) that per-doc pages would exploit — so the gate samples
+        # up to 64 docs and takes each doc's cheapest of {order-0 entropy,
+        # delta entropy, RLE estimate}, with a bitpack-range floor when the
+        # sample is all-distinct (small samples underestimate wide-domain
+        # entropy). Fires only when realized >> achievable, i.e. exactly
+        # when the order-blind split estimator plausibly mis-split.
+        ambiguous = False
+        if config.mode_grid and len(pages) >= 2:
+            realized_bpv = total_now / max(float(val_offsets[-1]), 1.0)
+            if realized_bpv > 0.4:
+                n_docs_g = len(lens)
+                step = max(1, n_docs_g // 64)
+                est_bits = est_vals = 0.0
+                for d in range(0, n_docs_g, step):
+                    v0d, v1d = int(val_offsets[d]), int(val_offsets[d + 1])
+                    v = values[v0d : min(v0d + 4096, v1d)].astype(np.int64)
+                    if len(v) < 16:
+                        continue
+
+                    def _ent(a: np.ndarray) -> float:
+                        _, cnt = np.unique(a, return_counts=True)
+                        p = cnt / len(a)
+                        e = float(-(p * np.log2(p)).sum())
+                        if len(cnt) > 0.9 * len(a):
+                            # mostly-distinct sample: entropy estimate is a
+                            # sampling artifact; floor at the bitpack range
+                            e = max(e, float(np.log2(float(a.max() - a.min()) + 1.0)))
+                        return e
+
+                    dv = np.diff(v)
+                    runs = float(np.count_nonzero(dv) + 1)
+                    rle_bits = 64.0 * runs / len(v)  # ~8 B per run
+                    best = min(_ent(v), _ent(dv) if len(dv) else 64.0, rle_bits)
+                    est_bits += best * len(v)
+                    est_vals += len(v)
+                if est_vals:
+                    # + per-doc metadata overhead (doc_id/lens bytes) so tiny-
+                    # doc groups, whose realized cost is header-dominated by
+                    # construction, don't fire spuriously
+                    overhead_bpv = 6.0 * n_docs_g / max(float(val_offsets[-1]), 1.0)
+                    achievable_bpv = est_bits / est_vals / 8.0 + overhead_bpv
+                    ambiguous = achievable_bpv < 0.9 * realized_bpv
+        if ambiguous:
+            grid: list[np.ndarray] = [
+                # fixed-budget splits (the simple mode)
+                np.unique(
+                    np.concatenate(
+                        ([0], split_simple(lens, config.page_budget_values), [len(lens)])
+                    )
+                ).astype(np.int64),
+                # finer cost splits (half budget → more header, better locality)
+                np.unique(
+                    np.concatenate(
+                        (
+                            [0],
+                            split_by_cost(
+                                values,
+                                lens,
+                                max(config.page_budget_values // 2, 1),
+                                config.max_pages_per_group * 2,
+                            ),
+                            [len(lens)],
+                        )
+                    )
+                ).astype(np.int64),
+            ]
+            for alt_bounds in grid:
+                if np.array_equal(alt_bounds, row_bounds):
+                    continue
+                alt_pages = [
+                    encode_rows(int(alt_bounds[k]), int(alt_bounds[k + 1]))
+                    for k in range(len(alt_bounds) - 1)
+                ]
+                alt_bounds, alt_pages, _ = merge_pass(
+                    alt_bounds,
+                    alt_pages,
+                    val_offsets,
+                    encode_rows,
+                    page_budget_values=config.page_budget_values,
+                )
+                alt_total = float(
+                    sum(len(h) + len(p) for h, p, _, _ in alt_pages)
+                )
+                if alt_total < total_now:
+                    row_bounds, pages, total_now = alt_bounds, alt_pages, alt_total
         # recompression passes (--pass analog, reference src/zopfli/deflate.c:
         # 1728-1836): try harder (zlib level 9) on the worst-compressing
         # pages, keep only if strictly smaller. Level-pinned winners are

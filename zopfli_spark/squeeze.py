@@ -54,15 +54,22 @@ def refine_boundaries(
     rng = np.random.Generator(np.random.PCG64(list(seed_key)))
     bounds = row_bounds.copy()
     sizes = _page_sizes(pages)
+    # blended per-page cost statistic — the AddWeighedStatFreqs analog
+    # (reference src/zopfli/squeeze.c:64-77,619-625): each iteration the
+    # proposal model is a 1:1 blend of the previous model and the freshly
+    # measured bytes/value, so the search direction carries momentum from
+    # earlier measurements instead of reacting to one noisy encode
+    bpv_blend = sizes / np.maximum(np.diff(val_offsets[bounds]), 1)
     unsuccessful = 0
     improved = 0
     for _ in range(iterations):
         if unsuccessful >= max_unsuccessful:
             break
-        # target: boundary adjacent to the worst page (highest bytes/value)
         nv = np.maximum(np.diff(val_offsets[bounds]), 1)
         bpv = sizes / nv
-        worst = int(np.argmax(bpv))
+        bpv_blend = 0.5 * bpv_blend + 0.5 * bpv
+        # target: boundary adjacent to the worst page under the BLENDED stats
+        worst = int(np.argmax(bpv_blend))
         # choose the boundary between worst and a neighbor (seeded choice)
         if worst == 0:
             b_idx = 1
@@ -75,10 +82,21 @@ def refine_boundaries(
         if hi - lo <= 2 * min_page_rows:
             unsuccessful += 1
             continue
-        # seeded jitter proposal within the open interval
+        # directed proposal: shrink whichever side the blended stats say is
+        # costlier (boundary moves INTO the expensive page), magnitude from
+        # the cost imbalance, plus seeded jitter to escape plateaus (the
+        # RanState perturbation, squeeze.c:579-628)
         span = hi - lo
-        delta = int(rng.integers(1, max(2, span // 4)))
-        cand = cur + delta if rng.integers(0, 2) else cur - delta
+        cl, cr = float(bpv_blend[b_idx - 1]), float(bpv_blend[b_idx])
+        imbalance = (cr - cl) / max(cr + cl, 1e-12)
+        base_delta = int(abs(imbalance) * span / 2)
+        jitter = int(rng.integers(1, max(2, span // 4)))
+        delta = max(1, base_delta + jitter // 2)
+        if abs(imbalance) > 1e-9:
+            direction = 1 if imbalance > 0 else -1
+        else:
+            direction = 1 if rng.integers(0, 2) else -1
+        cand = cur + direction * delta
         cand = int(np.clip(cand, lo + min_page_rows, hi - min_page_rows))
         if cand == cur:
             unsuccessful += 1
