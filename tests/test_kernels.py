@@ -12,6 +12,7 @@ import numpy as np
 import pytest
 
 from zopfli_spark.codecs import bitio
+from zopfli_spark.codecs import kernels
 from zopfli_spark.codecs.kernels import (
     blob_codec_name,
     decode_blob,
@@ -195,3 +196,44 @@ def test_property_string_roundtrip(xs):
     s = np.array(xs, dtype=object)
     blob = encode_strings(s)
     assert list(decode_strings(blob, len(s))) == xs
+
+
+def test_dict_shift_wins_on_clustered_noise_page():
+    """Coarsened dictionary (OptimizeHuffmanForRle spirit for the dict
+    header, SURVEY §4 #14): cluster centers + low-bit noise explode raw
+    cardinality, so full DICT drowns in header bytes; dict over v>>s plus
+    raw low bits must win the argmin and roundtrip exactly."""
+    rng = np.random.default_rng(0)
+    centers = rng.integers(0, 1 << 18, 64) * 4096
+    v = (centers[rng.integers(0, 64, 20000)] + rng.integers(0, 64, 20000)).astype(np.int32)
+    blob = kernels.encode_best(v)
+    assert kernels.blob_codec_name(blob) == "dict_shift"
+    assert len(blob) < (1 + 4 * len(v)) // 2
+    assert np.array_equal(kernels.decode_blob(blob, len(v)), v.astype(np.int64))
+    assert kernels.encode_forced(v, "dict_shift") == blob
+
+
+def test_dict_shift_roundtrips_negative_values():
+    rng = np.random.default_rng(1)
+    centers = rng.integers(-(1 << 17), 1 << 17, 64) * 4096
+    v = (centers[rng.integers(0, 64, 8192)] + rng.integers(0, 64, 8192)).astype(np.int32)
+    blob = kernels.encode_forced(v, "dict_shift")
+    assert np.array_equal(kernels.decode_blob(blob, len(v)), v.astype(np.int64))
+
+
+def test_huffman_rle_smoothing_never_worse():
+    """_huffman_select_lengths compares exact totals, so the smoothed
+    variant is only chosen when strictly smaller; forced re-encode must
+    reproduce the same choice byte-for-byte."""
+    rng = np.random.default_rng(2)
+    # long tail of near-equal small counts → smoothing flattens the length
+    # table; a few hot symbols keep the payload term honest
+    v = np.concatenate([
+        rng.integers(0, 8, 30000),
+        np.arange(4000) * 7 % 65536,
+    ]).astype(np.int32)
+    blob = kernels.encode_best(v, try_zlib=False)
+    out = kernels.decode_blob(blob, len(v))
+    assert np.array_equal(out, v.astype(np.int64))
+    if kernels.blob_codec_name(blob) == "huffman":
+        assert kernels.encode_forced(v, "huffman") == blob

@@ -32,6 +32,8 @@ Blob format (self-describing, recursive for composites)::
                    [u8 max_code_len][u32 len(len_tbl)][len_tbl — nested blob]
                    [u16 miniblock K][u32 len(offsets_blob)][offsets_blob]
                    [u32 total_bits][MSB-first canonical-Huffman bitstream]
+    DICT_SHIFT 11: [u8 shift][u32 cardq][u32 len(dict_blob)][dict_blob]
+                   [u32 len(idx_blob)][idx_blob][packed low bits (n·shift)]
 
 Decoding only needs the blob plus the value count ``n`` (counts for nested
 blobs are derivable: RLE stores n_runs, DICT stores card). All kernels are
@@ -46,7 +48,7 @@ import zlib
 import numpy as np
 
 from .bitio import bit_width, pack_bits, unpack_bits, zigzag_decode, zigzag_encode
-from ..model import package_merge
+from ..model import optimize_counts_for_rle, package_merge
 
 # Codec tags
 PLAIN = 0
@@ -60,6 +62,7 @@ ZLIB = 7
 FOR_ZLIB = 8
 PLANE_ZLIB = 9
 HUFFMAN = 10
+DICT_SHIFT = 11
 
 CODEC_NAMES = {
     PLAIN: "plain",
@@ -73,6 +76,7 @@ CODEC_NAMES = {
     FOR_ZLIB: "for_zlib",
     PLANE_ZLIB: "plane_zlib",
     HUFFMAN: "huffman",
+    DICT_SHIFT: "dict_shift",
 }
 
 _I64 = struct.Struct("<q")
@@ -231,6 +235,53 @@ def _build_dict(v: np.ndarray, uniq: np.ndarray, inverse: np.ndarray) -> bytes:
     return bytes([DICT]) + _U32.pack(card) + _U32.pack(len(dict_blob)) + dict_blob + idx_blob
 
 
+def _dict_shift_best_s(uniq: np.ndarray, n: int) -> tuple[int | None, float]:
+    """Pick the quantization shift by analytic size estimate: for each s the
+    coarse cardinality is one O(card) diff over the (sorted) uniq array —
+    no per-s np.unique over the full page."""
+    best_s, best_est = None, np.inf
+    vmin, vmax = int(uniq[0]), int(uniq[-1])
+    for s in range(1, 25):
+        q = uniq >> s
+        cardq = 1 + int(np.count_nonzero(np.diff(q)))
+        entry_w = bit_width(max((vmax >> s) - (vmin >> s), 1))
+        est = 14.0 + cardq * entry_w / 8.0 + n * (bit_width(max(cardq - 1, 1)) + s) / 8.0
+        if est < best_est:
+            best_s, best_est = s, est
+        if cardq <= 2:
+            break
+    return best_s, best_est
+
+
+def _build_dict_shift(v: np.ndarray, uniq: np.ndarray, n: int, budget: int) -> bytes | None:
+    """Quantized ("coarsened") dictionary — the dict-header analog of
+    OptimizeHuffmanForRle (reference src/zopfli/deflate.c:556-776; SURVEY §4
+    #14): when raw cardinality makes the dictionary header dominate, split
+    v = (q << s) | r and dictionary-code only the quotients, storing the low
+    s bits raw. Lossless by construction; wins on clustered-values-plus-noise
+    pages where full-card DICT drowns in header bytes."""
+    s, est = _dict_shift_best_s(uniq, n)
+    if s is None or est >= budget:
+        return None
+    q = v >> s
+    r = (v - (q << s)).astype(np.uint64)  # in [0, 2^s) (floor-shift residual)
+    qu_all = uniq >> s
+    qu = qu_all[np.concatenate(([True], np.diff(qu_all) != 0))]
+    idx = np.searchsorted(qu, q)
+    dict_blob = encode_simple(qu)
+    idx_blob = _enc_bitpack(idx.astype(np.uint64), bit_width(max(len(qu) - 1, 1)))
+    resid = pack_bits(r, s)
+    return (
+        bytes([DICT_SHIFT, s])
+        + _U32.pack(len(qu))
+        + _U32.pack(len(dict_blob))
+        + dict_blob
+        + _U32.pack(len(idx_blob))
+        + idx_blob
+        + resid
+    )
+
+
 # ---------------------------------------------------------------------------
 # Canonical-Huffman codec (entropy coding over dictionary indices)
 # ---------------------------------------------------------------------------
@@ -258,6 +309,25 @@ def _canonical_codes(lengths: np.ndarray) -> np.ndarray:
     codes = np.empty(len(lengths), dtype=np.int64)
     codes[order] = next_code[sorted_len] + (np.arange(len(lengths)) - group_first)
     return codes
+
+
+def _huffman_select_lengths(counts: np.ndarray) -> tuple[np.ndarray, int]:
+    """Pick code lengths: optimal package-merge vs the RLE-smoothed histogram
+    variant (OptimizeHuffmanForRle analog, reference src/zopfli/deflate.c:
+    556-776), compared by EXACT total bits — true-count payload plus the
+    encoded code-length table — keep-if-smaller. Deterministic, so the
+    lineage-forced re-encode reproduces the same bytes."""
+    l1 = package_merge(counts, _HUFF_MAXBITS)
+    t1 = encode_best(np.asarray(l1, dtype=np.int64), try_zlib=False)
+    b1 = int((counts * l1).sum()) + 8 * len(t1)
+    c2 = optimize_counts_for_rle(counts)
+    if not np.array_equal(c2, counts):
+        l2 = package_merge(c2, _HUFF_MAXBITS)
+        t2 = encode_best(np.asarray(l2, dtype=np.int64), try_zlib=False)
+        b2 = int((counts * l2).sum()) + 8 * len(t2)
+        if b2 < b1:
+            return l2, b2
+    return l1, b1
 
 
 def _enc_huffman(v: np.ndarray, uniq: np.ndarray, inverse: np.ndarray, lengths: np.ndarray) -> bytes:
@@ -389,8 +459,14 @@ def encode_forced(v: np.ndarray, codec_name: str, *, zlib_level: int = 6) -> byt
         return _build_dict(v, uniq, inverse)
     if codec_name == "huffman":
         uniq, inverse = np.unique(v, return_inverse=True)
-        lengths = package_merge(np.bincount(inverse), _HUFF_MAXBITS)
+        lengths, _ = _huffman_select_lengths(np.bincount(inverse))
         return _enc_huffman(v, uniq, inverse, lengths)
+    if codec_name == "dict_shift":
+        uniq = np.unique(v)
+        blob = _build_dict_shift(v, uniq, n, 1 << 62)
+        if blob is None:
+            raise ValueError("dict_shift forced on non-viable page")
+        return blob
     if codec_name == "plane_zlib":
         return _enc_plane_zlib(v, vmin, w_for, zlib_level)
     if codec_name == "zlib":
@@ -477,6 +553,13 @@ def encode_best(
                 candidates.append(blob)
                 best_size = len(blob)
 
+    # --- coarsened (quantized) dictionary -------------------------------------
+    if ok(DICT_SHIFT) and uniq is not None and len(uniq) > 256:
+        blob = _build_dict_shift(v, uniq, n, best_size)
+        if blob is not None and len(blob) < best_size:
+            candidates.append(blob)
+            best_size = len(blob)
+
     # --- entropy-coded candidates (gated) --------------------------------------
     counts = None
     if ok(HUFFMAN) and n >= 64:
@@ -494,8 +577,7 @@ def encode_best(
             lb_dict = 10 + (card - 1 + 7) // 8
             fixed = 1 + 4 + 4 + lb_dict + 1 + 4 + 9 + 2 + 4 + 1 + 4
             if fixed + int(_entropy_bits(counts)) // 8 < best_size:
-                lengths = package_merge(counts, _HUFF_MAXBITS)
-                payload_bits = int((counts * lengths).sum())
+                lengths, payload_bits = _huffman_select_lengths(counts)
                 if fixed + (payload_bits + 7) // 8 < best_size:
                     blob = _enc_huffman(v, uniq, inverse, lengths)
                     if len(blob) < best_size:
@@ -589,6 +671,15 @@ def decode_blob(buf: bytes, n: int) -> np.ndarray:
         return resid.astype(np.int64) + base
     if tag == HUFFMAN:
         return _dec_huffman(body, n)
+    if tag == DICT_SHIFT:
+        shift = body[0]
+        (cardq,) = _U32.unpack(body[1:5])
+        (db_len,) = _U32.unpack(body[5:9])
+        qvals = decode_blob(bytes(body[9 : 9 + db_len]), cardq)
+        (ib_len,) = _U32.unpack(body[9 + db_len : 13 + db_len])
+        idx = decode_blob(bytes(body[13 + db_len : 13 + db_len + ib_len]), n)
+        resid = unpack_bits(bytes(body[13 + db_len + ib_len :]), n, shift)
+        return (qvals[idx] << shift) + resid.astype(np.int64)
     raise ValueError(f"unknown codec tag {tag}")
 
 

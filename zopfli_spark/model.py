@@ -96,3 +96,44 @@ def huffman_cost_bits(counts: np.ndarray, maxbits: int = 15) -> float:
     counts = np.asarray(counts, dtype=np.int64)
     lengths = package_merge(counts, maxbits)
     return float((counts * lengths).sum())
+
+
+def optimize_counts_for_rle(counts: np.ndarray) -> np.ndarray:
+    """Histogram smoothing so the code-length table compresses better — the
+    ``OptimizeHuffmanForRle`` analog (reference src/zopfli/deflate.c:556-776):
+    stretches of similar small counts are replaced by their average, trading
+    a few payload bits for a run-compressible length table. The caller prices
+    BOTH variants exactly (payload bits from the true counts × the smoothed
+    lengths, plus the encoded table) and keeps the smaller — the
+    keep-if-smaller discipline, never a blind substitution.
+
+    Counts here are all ≥ 1 (our dictionary covers only present symbols), so
+    smoothing preserves positivity and every symbol keeps a code."""
+    c = np.asarray(counts, dtype=np.int64)
+    n = len(c)
+    out = c.copy()
+    # stretches of ≥ 5 identical counts already RLE well — keep them exact
+    keep = np.zeros(n, dtype=bool)
+    i = 0
+    while i < n:
+        j = i
+        while j < n and c[j] == c[i]:
+            j += 1
+        if j - i >= 5:
+            keep[i:j] = True
+        i = j
+    # large counts carry real payload weight — keep them exact too
+    keep |= c >= max(8, int(c.sum()) // max(n * 4, 1))
+    i = 0
+    while i < n:
+        if keep[i]:
+            i += 1
+            continue
+        j = i
+        s = 0
+        while j < n and not keep[j]:
+            s += int(c[j])
+            j += 1
+        out[i:j] = max(1, (s + (j - i) // 2) // (j - i))
+        i = j
+    return out
