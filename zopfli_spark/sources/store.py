@@ -85,3 +85,130 @@ def encode_to_store(
     m = metrics_table(pages_on_disk, run_id)
     append_metrics(m, root)
     return m
+
+
+# ---------------------------------------------------------------------------
+# Snapshot layer — Iceberg-style table semantics over the page store
+# ---------------------------------------------------------------------------
+#
+# The north rule frames input/output as Iceberg tables; the reference's
+# container role (ZIP central directory, gzip_container.c) maps to table
+# METADATA, not just parquet footers. This layer adds the Iceberg ideas the
+# engine actually needs, dependency-free:
+#
+#   <root>/data/snap-<seq>-<id>/part_id=*/...parquet   immutable data dirs
+#   <root>/snapshots/<seq>-<id>.json                   manifest: dirs + stats
+#   <root>/snapshots/LATEST                            atomic pointer (rename)
+#
+# * commits are atomic (manifest written tmp + os.replace, then the pointer);
+#   a killed job leaves the previous snapshot fully readable — the stronger
+#   form of the per-partition task-commit guarantee above.
+# * snapshots are append-only unions of immutable dirs → time travel is
+#   "read the dirs the manifest names"; partition pruning still applies
+#   because each dir keeps its own part_id=... layout.
+# * driver-visible filesystem paths (local/NFS); on an object store the same
+#   two-file commit maps onto the Hadoop FileSystem API.
+
+import json as _json
+import uuid as _uuid
+from functools import reduce as _reduce
+
+
+def _snap_dir(root: str) -> str:
+    return os.path.join(root, "snapshots")
+
+
+def list_snapshots(root: str) -> list[dict]:
+    """Manifests in sequence order (empty if no snapshot layer present)."""
+    d = _snap_dir(root)
+    if not os.path.isdir(d):
+        return []
+    out = []
+    for f in sorted(os.listdir(d)):
+        if f.endswith(".json"):
+            with open(os.path.join(d, f)) as fh:
+                out.append(_json.load(fh))
+    return sorted(out, key=lambda m: m["sequence"])
+
+
+def current_snapshot(root: str) -> dict | None:
+    ptr = os.path.join(_snap_dir(root), "LATEST")
+    if not os.path.exists(ptr):
+        return None
+    with open(ptr) as fh:
+        name = fh.read().strip()
+    with open(os.path.join(_snap_dir(root), name)) as fh:
+        return _json.load(fh)
+
+
+def commit_snapshot(pages: DataFrame, root: str, append: bool = True) -> dict:
+    """Write pages as a new immutable data dir and commit a new snapshot.
+
+    ``append=True`` unions the new dir with the parent snapshot's dirs
+    (Iceberg fast-append); ``append=False`` makes the new dir the whole
+    table (overwrite semantics, old snapshots stay readable — time travel).
+    Returns the manifest."""
+    parent = current_snapshot(root)
+    seq = (parent["sequence"] + 1) if parent else 1
+    snap_id = _uuid.uuid4().hex[:12]
+    rel = os.path.join("data", f"snap-{seq:06d}-{snap_id}")
+    data_dir = os.path.join(root, rel)
+    (
+        pages.repartition(F.col("part_id"))
+        .sortWithinPartitions("part_id", "page_id")
+        .write.mode("error")
+        .partitionBy("part_id")
+        .parquet(data_dir)
+    )
+    agg = pages.agg(
+        F.count("*").alias("pages"),
+        F.sum("n_rows").alias("rows"),
+        F.sum("n_values").alias("values"),
+        F.sum("enc_bytes").alias("enc_bytes"),
+    ).collect()[0]
+    dirs = ([*parent["dirs"], rel] if (append and parent) else [rel])
+    manifest = {
+        "snapshot_id": snap_id,
+        "sequence": seq,
+        "parent_id": parent["snapshot_id"] if parent else None,
+        "operation": "append" if (append and parent) else "overwrite",
+        "dirs": dirs,
+        "summary": {
+            "added_pages": int(agg["pages"]),
+            "added_rows": int(agg["rows"] or 0),
+            "added_values": int(agg["values"] or 0),
+            "added_enc_bytes": int(agg["enc_bytes"] or 0),
+        },
+        "schema": [f.simpleString() for f in pages.schema.fields],
+    }
+    d = _snap_dir(root)
+    os.makedirs(d, exist_ok=True)
+    name = f"{seq:06d}-{snap_id}.json"
+    tmp = os.path.join(d, f".{name}.tmp")
+    with open(tmp, "w") as fh:
+        _json.dump(manifest, fh, indent=1)
+    os.replace(tmp, os.path.join(d, name))  # manifest visible atomically
+    ptr_tmp = os.path.join(d, ".LATEST.tmp")
+    with open(ptr_tmp, "w") as fh:
+        fh.write(name)
+    os.replace(ptr_tmp, os.path.join(d, "LATEST"))  # commit point
+    return manifest
+
+
+def read_snapshot(
+    spark: SparkSession, root: str, snapshot_id: str | None = None
+) -> DataFrame:
+    """Read a snapshot (default: current). Each data dir keeps its own
+    part_id=... layout, so partition pruning survives the union."""
+    snaps = list_snapshots(root)
+    if not snaps:
+        raise FileNotFoundError(f"no snapshots under {root}")
+    if snapshot_id is None:
+        manifest = current_snapshot(root)
+    else:
+        matches = [m for m in snaps if m["snapshot_id"] == snapshot_id]
+        if not matches:
+            raise KeyError(f"snapshot {snapshot_id} not found")
+        manifest = matches[0]
+    parts = [spark.read.parquet(os.path.join(root, d)) for d in manifest["dirs"]]
+    return _reduce(lambda a, b: a.unionByName(b), parts)
