@@ -85,3 +85,58 @@ def test_grid_result_is_deterministic(order_blind_group):
     b = _encode_group(_tbl(order_blind_group), CFG)
     assert a.column("checksum").to_pylist() == b.column("checksum").to_pylist()
     assert _total(a) == _total(b)
+
+
+def test_split_mode_dp_roundtrips_and_dominates_estimate():
+    """split_mode='dp' (GetBestLengths forward DP + TraceBackwards analog):
+    the DP segmentation never exceeds the greedy driver's total ESTIMATED
+    cost, honors the 2x-budget memory bound, and the full encode→page
+    decode stays bit-identical."""
+    import numpy as np
+    from zopfli_spark.pages import _RangeCost, split_by_cost, split_dp
+
+    rng = np.random.default_rng(11)
+    n_docs = 120
+    lens = rng.integers(50, 2000, n_docs).astype(np.int64)
+    vals = []
+    for i in range(n_docs):
+        k = i % 3
+        n = int(lens[i])
+        if k == 0:
+            v = rng.zipf(1.3, n).astype(np.int64) % 50000
+        elif k == 1:
+            v = np.arange(n) + int(rng.integers(0, 1000))
+        else:
+            v = rng.integers(0, 1 << 30, n)
+        lens[i] = len(v)
+        vals.append(v.astype(np.int32))
+    values = np.concatenate(vals)
+    budget = 32768
+    rc = _RangeCost(values, lens)
+    dp = split_dp(rc, lens, budget)
+    greedy = split_by_cost(values, lens, budget, 64)
+
+    def est(bounds):
+        bs = [0, *bounds.tolist(), n_docs]
+        return sum(rc.cost_bits(bs[k], bs[k + 1]) for k in range(len(bs) - 1))
+
+    assert est(dp) <= est(greedy) + 1e-6
+    cum = np.concatenate(([0], np.cumsum(lens)))
+    bs = [0, *dp.tolist(), n_docs]
+    for k in range(len(bs) - 1):
+        if bs[k + 1] - bs[k] > 1:
+            assert cum[bs[k + 1]] - cum[bs[k]] <= 2 * budget
+
+    cfg_dp = dataclasses.replace(CFG, split_mode="dp", mode_grid=False)
+    docs = [values[cum[i]:cum[i + 1]] for i in range(n_docs)]
+    out = _encode_group(_tbl(docs), cfg_dp)
+    from zopfli_spark.operators.pagecodec import decode_page
+    decoded = []
+    for r in sorted(
+        (dict(zip(out.schema.names, row)) for row in zip(*(c.to_pylist() for c in out.columns))),
+        key=lambda d: d["page_id"],
+    ):
+        _, _, _, vv = decode_page(r["header"], r["payload"], r["checksum"], split_rows=False)
+        decoded.append(vv)
+    flat = np.concatenate(decoded)
+    assert np.array_equal(flat, values.astype(flat.dtype))

@@ -179,9 +179,13 @@ def _encode_group(
                         )
                 hinted = True
     if plan is None and not hinted:
-        if config.split_mode == "cost" and len(lens) > 1:
+        if config.split_mode in ("cost", "dp") and len(lens) > 1:
             bounds = split_by_cost(
-                values, lens, config.page_budget_values, config.max_pages_per_group
+                values,
+                lens,
+                config.page_budget_values,
+                config.max_pages_per_group,
+                mode="dp" if config.split_mode == "dp" else "greedy",
             )
         else:
             bounds = split_simple(lens, config.page_budget_values)
@@ -299,6 +303,22 @@ def _encode_group(
                     ambiguous = achievable_bpv < 0.9 * realized_bpv
         if ambiguous:
             grid: list[np.ndarray] = [
+                # globally-optimal-under-estimate splits (GetBestLengths DP)
+                np.unique(
+                    np.concatenate(
+                        (
+                            [0],
+                            split_by_cost(
+                                values,
+                                lens,
+                                config.page_budget_values,
+                                config.max_pages_per_group,
+                                mode="dp",
+                            ),
+                            [len(lens)],
+                        )
+                    )
+                ).astype(np.int64),
                 # fixed-budget splits (the simple mode)
                 np.unique(
                     np.concatenate(
