@@ -311,19 +311,40 @@ def _canonical_codes(lengths: np.ndarray) -> np.ndarray:
     return codes
 
 
-def _huffman_select_lengths(counts: np.ndarray) -> tuple[np.ndarray, int]:
+# the nested code-length table is a tiny-alphabet array (values 1..15);
+# allowing HUFFMAN inside it would recurse the whole selection (2 package-
+# merges per level, branching) for at best marginal bytes — profile showed
+# the recursion at 60% of encode CPU. Analytic codecs only.
+_LEN_TBL_ALLOWED = frozenset({PLAIN, CONSTANT, BITPACK, FOR_BITPACK, DELTA, RLE, DICT})
+
+
+def _huffman_select_lengths(
+    counts: np.ndarray, l1: np.ndarray | None = None
+) -> tuple[np.ndarray, int]:
     """Pick code lengths: optimal package-merge vs the RLE-smoothed histogram
     variant (OptimizeHuffmanForRle analog, reference src/zopfli/deflate.c:
     556-776), compared by EXACT total bits — true-count payload plus the
-    encoded code-length table — keep-if-smaller. Deterministic, so the
-    lineage-forced re-encode reproduces the same bytes."""
-    l1 = package_merge(counts, _HUFF_MAXBITS)
-    t1 = encode_best(np.asarray(l1, dtype=np.int64), try_zlib=False)
+    encoded code-length table — keep-if-smaller. A pure function of
+    ``counts`` (``l1`` may be passed only as the precomputed package-merge
+    of counts), so the lineage-forced re-encode reproduces the same bytes.
+
+    Called for serious candidates only (past the exact unsmoothed-payload
+    gate): smoothing costs a second package-merge + table encode, so it
+    must not run on every page the entropy pre-gate lets through."""
+    if l1 is None:
+        l1 = package_merge(counts, _HUFF_MAXBITS)
+    t1 = encode_best(np.asarray(l1, dtype=np.int64), try_zlib=False, allowed=_LEN_TBL_ALLOWED)
     b1 = int((counts * l1).sum()) + 8 * len(t1)
-    c2 = optimize_counts_for_rle(counts)
+    # smoothing moves at most ~table-size bytes: skip when the alphabet is
+    # tiny or the unsmoothed table is already a few dozen bytes
+    c2 = (
+        optimize_counts_for_rle(counts)
+        if (len(counts) >= 64 and len(t1) > 64)
+        else counts
+    )
     if not np.array_equal(c2, counts):
         l2 = package_merge(c2, _HUFF_MAXBITS)
-        t2 = encode_best(np.asarray(l2, dtype=np.int64), try_zlib=False)
+        t2 = encode_best(np.asarray(l2, dtype=np.int64), try_zlib=False, allowed=_LEN_TBL_ALLOWED)
         b2 = int((counts * l2).sum()) + 8 * len(t2)
         if b2 < b1:
             return l2, b2
@@ -357,7 +378,7 @@ def _enc_huffman(v: np.ndarray, uniq: np.ndarray, inverse: np.ndarray, lengths: 
     # the code-length table is itself entropy-coded (DEFLATE transmits its
     # tree huffman-coded too — reference src/zopfli/deflate.c:118-293); the
     # recursion terminates because the inner alphabet is ≤ maxbits symbols
-    len_tbl = encode_best(lengths, try_zlib=False)
+    len_tbl = encode_best(lengths, try_zlib=False, allowed=_LEN_TBL_ALLOWED)
     return (
         bytes([HUFFMAN])
         + _U32.pack(len(uniq))
@@ -577,8 +598,13 @@ def encode_best(
             lb_dict = 10 + (card - 1 + 7) // 8
             fixed = 1 + 4 + 4 + lb_dict + 1 + 4 + 9 + 2 + 4 + 1 + 4
             if fixed + int(_entropy_bits(counts)) // 8 < best_size:
-                lengths, payload_bits = _huffman_select_lengths(counts)
-                if fixed + (payload_bits + 7) // 8 < best_size:
+                # optimal lengths first; the exact unsmoothed payload is a
+                # lower bound for both variants, so it gates BEFORE paying
+                # for the smoothed-variant comparison
+                l1 = package_merge(counts, _HUFF_MAXBITS)
+                p1 = int((counts * l1).sum())
+                if fixed + (p1 + 7) // 8 < best_size:
+                    lengths, _ = _huffman_select_lengths(counts, l1=l1)
                     blob = _enc_huffman(v, uniq, inverse, lengths)
                     if len(blob) < best_size:
                         candidates.append(blob)

@@ -112,28 +112,21 @@ def optimize_counts_for_rle(counts: np.ndarray) -> np.ndarray:
     c = np.asarray(counts, dtype=np.int64)
     n = len(c)
     out = c.copy()
+    if n == 0:
+        return out
     # stretches of ≥ 5 identical counts already RLE well — keep them exact
-    keep = np.zeros(n, dtype=bool)
-    i = 0
-    while i < n:
-        j = i
-        while j < n and c[j] == c[i]:
-            j += 1
-        if j - i >= 5:
-            keep[i:j] = True
-        i = j
+    chg = np.flatnonzero(np.diff(c)) + 1
+    runlen = np.diff(np.concatenate(([0], chg, [n])))
+    keep = np.repeat(runlen >= 5, runlen)
     # large counts carry real payload weight — keep them exact too
     keep |= c >= max(8, int(c.sum()) // max(n * 4, 1))
-    i = 0
-    while i < n:
-        if keep[i]:
-            i += 1
-            continue
-        j = i
-        s = 0
-        while j < n and not keep[j]:
-            s += int(c[j])
-            j += 1
-        out[i:j] = max(1, (s + (j - i) // 2) // (j - i))
-        i = j
+    m = ~keep
+    if m.any():
+        # replace each maximal non-kept stretch with its rounded average
+        idxs = np.flatnonzero(m)
+        gid = np.cumsum(np.concatenate(([True], np.diff(idxs) != 1))) - 1
+        sums = np.bincount(gid, weights=c[idxs]).astype(np.int64)
+        lens = np.bincount(gid).astype(np.int64)
+        avg = np.maximum(1, (sums + lens // 2) // lens)
+        out[idxs] = avg[gid]
     return out
