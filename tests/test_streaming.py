@@ -40,3 +40,73 @@ def test_streaming_encode_roundtrip(spark, tmp_path_factory):
     assert roundtrip_check(df, decoded).count() == 0
     lin = read_lineage(spark, root)
     assert lin is not None and lin.count() > 0
+
+
+def test_stateful_dedup_across_batches(spark, tmp_path_factory):
+    """applyInPandasWithState dedup: a doc re-delivered in a LATER micro-
+    batch must be dropped by the state store, not re-emitted."""
+    from zopfli_spark.streaming.stateful import dedup_stream
+
+    src = str(tmp_path_factory.mktemp("dd_src"))
+    ckpt = str(tmp_path_factory.mktemp("dd_ckpt"))
+    df = synth_tokens_df(spark, 40, seed=21).cache()
+    half = df.filter(F.crc32("doc_id") % 2 == 0)
+    # batch files: b0 = half, b1 = FULL set (so half re-appears) — written
+    # as separate files consumed one per trigger
+    half.coalesce(1).write.mode("overwrite").parquet(src + "/b0")
+    df.coalesce(1).write.mode("overwrite").parquet(src + "/b1")
+
+    stream = (
+        spark.readStream.schema(
+            "doc_id string, tokens array<int>, n_tok int, source string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    q = (
+        dedup_stream(stream)
+        .writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    out = spark.sql("select * from dedup_out")
+    assert out.count() == df.count(), "each doc exactly once across batches"
+    assert out.select("doc_id").distinct().count() == df.count()
+
+
+def test_stateful_running_source_stats(spark, tmp_path_factory):
+    from zopfli_spark.streaming.stateful import running_source_stats
+
+    src = str(tmp_path_factory.mktemp("st_src"))
+    ckpt = str(tmp_path_factory.mktemp("st_ckpt"))
+    df = synth_tokens_df(spark, 60, seed=22).cache()
+    df.coalesce(1).write.mode("overwrite").parquet(src + "/b0")
+
+    stream = spark.readStream.schema(
+        "doc_id string, tokens array<int>, n_tok int, source string"
+    ).parquet(src + "/*")
+    q = (
+        running_source_stats(stream)
+        .writeStream.format("memory")
+        .queryName("stats_out")
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        r["source"]: (r["n_docs"], r["n_tok_total"])
+        for r in spark.sql("select * from stats_out").collect()
+    }
+    want = {
+        r["source"]: (r["c"], r["t"])
+        for r in df.groupBy("source")
+        .agg(F.count("*").alias("c"), F.sum("n_tok").alias("t"))
+        .collect()
+    }
+    assert got == want
