@@ -61,8 +61,11 @@ def test_checksum_detects_corruption(spark, pages):
     row = pages.filter(F.col("n_values") > 10).first()
     header, payload = bytes(row["header"]), bytes(row["payload"])
     decode_page(header, payload, row["checksum"])  # clean passes
+    # corrupt a MIDDLE byte: the final byte of a bitpacked blob may hold
+    # only padding bits, which are non-semantic (decode reads exactly
+    # n*width bits) and hence legitimately outside the content checksum
     corrupt = bytearray(payload)
-    corrupt[-1] ^= 0xFF
+    corrupt[len(corrupt) // 2] ^= 0xFF
     with pytest.raises((ValueError, Exception)):
         decode_page(header, bytes(corrupt), row["checksum"])
 

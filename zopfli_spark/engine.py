@@ -436,8 +436,18 @@ def encode_table(
     Hints are boundary lists, ~bytes per group — broadcast-sized at any data
     scale (unlike lineage plans, which ride the cogroup join)."""
     ensure_shipped(df.sparkSession)
-    grouped, _ = plan_groups(df, config)
+    grouped, num_groups = plan_groups(df, config)
     hints = hints_dict(split_hints)
+    # task count must track GROUP count, not spark.sql.shuffle.partitions: a
+    # fixed conf serializes the encode stage once num_groups outgrows it
+    # (10^12 sequences → millions of groups) and pays empty python-UDF tasks
+    # when far below it. repartition-by-key with an explicit count satisfies
+    # the grouped-map distribution requirement, so the plan keeps exactly ONE
+    # exchange (asserted in tests/test_plan_shape.py). 2× groups ≈ one group
+    # per task under hash collisions (the balance the bench previously got
+    # from hand-tuning the global conf).
+    n_parts = max(1, 2 * num_groups)
+    grouped = grouped.repartition(n_parts, F.col(GROUP_COL))
     if lineage is not None and isinstance(lineage, DataFrame):
         # scalable resume: no driver collect — per-group content keys are
         # aggregated JVM-side, equi-joined against the lineage table, and the
@@ -457,6 +467,7 @@ def encode_table(
                 "content_key",
             )
             .select(GROUP_COL, "content_hash", "plan")
+            .repartition(n_parts, F.col(GROUP_COL))
         )
         return (
             grouped.groupBy(GROUP_COL)
