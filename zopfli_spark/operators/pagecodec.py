@@ -44,11 +44,22 @@ def crc32_of_values(values: np.ndarray) -> int:
 
 
 def _crc_strings(strings: np.ndarray, crc: int) -> int:
-    """Chain CRC over length-prefixed utf-8 bytes (unambiguous concat)."""
-    bs = [s.encode("utf-8") for s in strings.tolist()]
-    lens = np.fromiter((len(b) for b in bs), dtype="<i8", count=len(bs))
+    """Chain CRC over length-prefixed utf-8 bytes (unambiguous concat).
+
+    Arrow does the utf-8 encoding in one C pass (its string array IS the
+    concatenated utf-8 buffer + offsets) — the previous per-string
+    ``str.encode`` loop was the last per-row Python on the decode path."""
+    import pyarrow as pa
+
+    a = pa.array(strings.tolist(), type=pa.large_string())
+    offs = np.frombuffer(a.buffers()[1], dtype=np.int64)[
+        a.offset : a.offset + len(a) + 1
+    ]
+    lens = np.diff(offs).astype("<i8")
     crc = zlib.crc32(lens.tobytes(), crc)
-    return zlib.crc32(b"".join(bs), crc)
+    data = a.buffers()[2]
+    blob = data.to_pybytes()[offs[0] : offs[-1]] if data is not None else b""
+    return zlib.crc32(blob, crc)
 
 
 def page_checksum(
