@@ -138,6 +138,33 @@ def q_roundtrip_dict(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _roundtrip_agg(docs, _cfg_for(sf_dir))
 
 
+def q_roundtrip_deep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deep-search modes through the full correctness gate: forward-DP page
+    segmentation (GetBestLengths/TraceBackwards analog) + the --all mode
+    grid, over the low-cardinality events docs (row counts within the DP
+    sweep bound at every sf). Same oracle as roundtrip_dict — the point is
+    that the deep search changes page geometry, never decoded bytes."""
+    import dataclasses
+
+    cfg = dataclasses.replace(_cfg_for(sf_dir), split_mode="dp", mode_grid=True)
+    ev = _read(spark, sf_dir, "events")
+    docs = (
+        ev.groupBy("user_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.pmod(F.col("event_id"), F.lit(97)).cast("int"))
+            ).alias("tokens")
+        )
+        .select(
+            F.format_string("usr_%09d", F.col("user_id")).alias("doc_id"),
+            "tokens",
+            F.size("tokens").cast("int").alias("n_tok"),
+            F.lit("events").alias("source"),
+        )
+    )
+    return _roundtrip_agg(docs, cfg)
+
+
 def q_pages_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row/value conservation through the page pipeline."""
     pages = encode_table(_lineitem_docs(spark, sf_dir), _cfg_for(sf_dir))
@@ -405,6 +432,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roundtrip_rle": q_roundtrip_rle,
         "roundtrip_delta": q_roundtrip_delta,
         "roundtrip_dict": q_roundtrip_dict,
+        "roundtrip_deep": q_roundtrip_deep,
         "pages_inventory": q_pages_inventory,
         "partition_plan": q_partition_plan,
         "doc_stats": q_doc_stats,
@@ -563,6 +591,12 @@ def oracle_sql() -> dict[str, str]:
             FROM orders ORDER BY doc_id
         """,
         "roundtrip_dict": """
+            SELECT printf('usr_%09d', user_id) AS doc_id,
+                   CAST(count(*) AS BIGINT) AS n_dec,
+                   CAST(sum(event_id % 97) AS BIGINT) AS tok_sum
+            FROM events GROUP BY user_id ORDER BY doc_id
+        """,
+        "roundtrip_deep": """
             SELECT printf('usr_%09d', user_id) AS doc_id,
                    CAST(count(*) AS BIGINT) AS n_dec,
                    CAST(sum(event_id % 97) AS BIGINT) AS tok_sum
