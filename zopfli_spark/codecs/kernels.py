@@ -595,9 +595,17 @@ def encode_best(
             # two-stage lower bound (GetCostModelMinCost discipline): Shannon
             # entropy bounds the Huffman payload from below, so a cheap gate
             # runs before the package-merge; exact (counts · lengths) after.
+            # The gate also prices the code-length TABLE (~3 bits/symbol
+            # packed) — without it, pages whose analytic best already sits
+            # near entropy paid a full package-merge just to lose.
             lb_dict = 10 + (card - 1 + 7) // 8
             fixed = 1 + 4 + 4 + lb_dict + 1 + 4 + 9 + 2 + 4 + 1 + 4
-            if fixed + int(_entropy_bits(counts)) // 8 < best_size:
+            lb_table = (card * 3) // 8
+            # demand a REAL entropy gap (>=20%) before paying the package-
+            # merge + emission machinery: marginal wins (entropy within 20%
+            # of the analytic/zlib best) cost milliseconds per page across
+            # millions of pages for bytes the recompress pass can recover
+            if fixed + lb_table + int(_entropy_bits(counts)) // 8 < 0.8 * best_size:
                 # optimal lengths first; the exact unsmoothed payload is a
                 # lower bound for both variants, so it gates BEFORE paying
                 # for the smoothed-variant comparison

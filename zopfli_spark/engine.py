@@ -193,7 +193,13 @@ def _encode_group(
     t_enc0 = time.perf_counter()
     t_cpu0 = time.process_time()
 
-    def encode_rows(r0: int, r1: int, forced: str | None = None, level: int | None = None):
+    def encode_rows(
+        r0: int,
+        r1: int,
+        forced: str | None = None,
+        level: int | None = None,
+        zlib_only: bool = False,
+    ):
         v0, v1 = int(val_offsets[r0]), int(val_offsets[r1])
         return encode_page(
             doc_ids[r0:r1],
@@ -204,6 +210,7 @@ def _encode_group(
             try_zlib=config.try_zlib,
             forced_codec=forced,
             level_tag=level,
+            zlib_only=zlib_only,
         )
 
     pages = [
@@ -374,7 +381,10 @@ def _encode_group(
                 if bpv[k] <= 1.15 * med or nv[k] < 4096:
                     continue
                 r0, r1 = int(row_bounds[k]), int(row_bounds[k + 1])
-                cand = encode_rows(r0, r1, level=9)
+                # only the zlib family responds to the level knob — re-running
+                # the full argmin (package-merge, dict probes) here just
+                # recomputed identical non-zlib candidates at 2x the cost
+                cand = encode_rows(r0, r1, level=9, zlib_only=True)
                 if len(cand[0]) + len(cand[1]) < sizes[k]:
                     pages[k] = cand
                     improved_any = True

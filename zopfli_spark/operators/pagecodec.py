@@ -82,6 +82,7 @@ def encode_page(
     try_zlib: bool = True,
     forced_codec: str | None = None,
     level_tag: int | None = None,
+    zlib_only: bool = False,
 ) -> tuple[bytes, bytes, str, int]:
     """→ (header, payload, codec_name, checksum). ``forced_codec`` is the
     lineage resume fast path (skip the argmin, reproduce recorded winner);
@@ -102,7 +103,16 @@ def encode_page(
         payload = encode_forced(values, forced_codec, zlib_level=zlib_level)
         name = forced_codec
     else:
-        payload = encode_best(values, zlib_level=zlib_level, try_zlib=try_zlib)
+        allowed = None
+        if zlib_only:
+            # recompress pass: only the zlib family responds to the level
+            # knob; PLAIN stays in as the stored-block guarantee
+            from ..codecs.kernels import FOR_ZLIB, PLAIN, PLANE_ZLIB, ZLIB
+
+            allowed = frozenset({PLAIN, ZLIB, FOR_ZLIB, PLANE_ZLIB})
+        payload = encode_best(
+            values, zlib_level=zlib_level, try_zlib=try_zlib, allowed=allowed
+        )
         name = blob_codec_name(payload)
         if level_tag is not None and name in ("zlib", "for_zlib", "plane_zlib"):
             name = f"{name}@{level_tag}"
