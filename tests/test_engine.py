@@ -127,3 +127,41 @@ def test_nul_bearing_doc_ids_roundtrip(spark):
     assert decoded.select("doc_id").distinct().count() == 120
     bad = roundtrip_check(df, decoded)
     assert bad.count() == 0, bad.limit(5).toPandas().to_string()
+
+
+def test_giant_doc_routed_to_longtail_keyspace_and_roundtrips(spark):
+    """Skew handling: a doc with n_tok >= giant_doc_values must land in the
+    long-tail group keyspace (part_id >= num_groups) so it never inflates a
+    regular group, and still decode bit-identically."""
+    import numpy as np
+
+    from zopfli_spark import EngineConfig, decode_table, encode_table
+    from zopfli_spark.plans.planner import plan_groups
+
+    cfg = EngineConfig(
+        page_budget_values=20_000,
+        group_budget_values=40_000,
+        giant_doc_values=50_000,
+    )
+    rng = np.random.default_rng(0)
+    rows = [("giant_000", [int(x) for x in rng.integers(0, 1 << 16, 120_000)], 120_000, "g")]
+    rows += [
+        (f"small_{i:03d}", [int(x) for x in rng.integers(0, 1 << 16, 500)], 500, "s")
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, tokens array<int>, n_tok int, source string")
+    _, num_groups = plan_groups(df, cfg)
+    pages = encode_table(df, cfg).cache()
+    giant_parts = {
+        r["part_id"]
+        for r in pages.filter(F.col("first_doc_id") <= "giant_000")
+        .filter(F.col("last_doc_id") >= "giant_000")
+        .collect()
+    }
+    assert giant_parts and all(p >= num_groups for p in giant_parts), (
+        f"giant doc must use the long-tail keyspace (>= {num_groups}), got {giant_parts}"
+    )
+    dec = decode_table(pages, cfg)
+    a = df.select("doc_id", F.col("tokens").cast("string").alias("t"))
+    b = dec.select("doc_id", F.col("tokens").cast("string").alias("t"))
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
