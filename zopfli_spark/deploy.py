@@ -17,24 +17,35 @@ _shipped: set[str] = set()
 
 
 def package_zip_path() -> str:
-    """Build (once per process) a zip of the zopfli_spark package."""
+    """Build (once per content version) a zip of the zopfli_spark package.
+
+    The zip name embeds a digest of the package SOURCE BYTES, not an mtime:
+    an mtime check goes stale the moment another checkout (a worktree, an
+    older release) rebuilds the shared temp file with a newer timestamp —
+    executors would then silently import the wrong code."""
+    import hashlib
+
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
-    out = os.path.join(tempfile.gettempdir(), "zopfli_spark_pkg.zip")
-    if not os.path.exists(out) or os.path.getmtime(out) < max(
-        os.path.getmtime(os.path.join(root, f))
+    sources = sorted(
+        os.path.join(root, f)
         for root, _, files in os.walk(pkg_dir)
         for f in files
         if f.endswith(".py")
-    ):
+    )
+    h = hashlib.blake2b(digest_size=8)
+    for full in sources:
+        h.update(os.path.relpath(full, pkg_dir).encode())
+        with open(full, "rb") as fh:
+            h.update(fh.read())
+    out = os.path.join(
+        tempfile.gettempdir(), f"zopfli_spark_pkg_{h.hexdigest()}.zip"
+    )
+    if not os.path.exists(out):
         tmp = out + ".tmp"
         with zipfile.ZipFile(tmp, "w", zipfile.ZIP_DEFLATED) as zf:
-            for root, _, files in os.walk(pkg_dir):
-                for f in files:
-                    if not f.endswith(".py"):
-                        continue
-                    full = os.path.join(root, f)
-                    rel = os.path.join("zopfli_spark", os.path.relpath(full, pkg_dir))
-                    zf.write(full, rel)
+            for full in sources:
+                rel = os.path.join("zopfli_spark", os.path.relpath(full, pkg_dir))
+                zf.write(full, rel)
         os.replace(tmp, out)
     return out
 
