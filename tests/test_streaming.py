@@ -110,3 +110,38 @@ def test_stateful_running_source_stats(spark, tmp_path_factory):
         .collect()
     }
     assert got == want
+
+
+def test_streaming_restart_processes_only_new_files(spark, tmp_path_factory):
+    """Restart semantics: a second availableNow run with the SAME checkpoint
+    must process only files that arrived after the first run (Spark source
+    checkpoint) and append them to the store; earlier docs stay intact."""
+    src = str(tmp_path_factory.mktemp("rs_src"))
+    root = str(tmp_path_factory.mktemp("rs_store"))
+    ckpt = str(tmp_path_factory.mktemp("rs_ckpt"))
+
+    df = synth_tokens_df(spark, 200, seed=31).cache()
+    first = df.filter(F.crc32("doc_id") % 2 == 0)
+    second = df.filter(F.crc32("doc_id") % 2 == 1)
+    first.write.mode("overwrite").parquet(src + "/b0")
+
+    schema = "doc_id string, tokens array<int>, n_tok int, source string"
+    q = encode_stream(
+        spark.readStream.schema(schema).parquet(src + "/*"),
+        root, CFG, checkpoint=ckpt, trigger_once=True,
+    )
+    q.awaitTermination(300)
+    n_pages_1 = read_pages(spark, root).count()
+    assert decode_table(read_pages(spark, root), CFG).count() == first.count()
+
+    # "restart": new file arrives, new query instance, same checkpoint
+    second.write.mode("overwrite").parquet(src + "/b1")
+    q2 = encode_stream(
+        spark.readStream.schema(schema).parquet(src + "/*"),
+        root, CFG, checkpoint=ckpt, trigger_once=True,
+    )
+    q2.awaitTermination(300)
+    pages = read_pages(spark, root)
+    assert pages.count() > n_pages_1
+    decoded = decode_table(pages, CFG)
+    assert roundtrip_check(df, decoded).count() == 0, "all docs, each exactly once"
