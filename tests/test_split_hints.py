@@ -106,3 +106,28 @@ def test_stale_hints_fall_through_to_search(spark, tokens_df):
     geo2, rows = _geometry(out)
     assert all(r["resumed"] == 0 for r in rows), "stale hash must be ignored"
     assert geo1 == geo2, "search path must reproduce the deterministic result"
+
+
+def test_hints_outrank_lineage(spark, tokens_df):
+    """Explicit predefined splits must win over a recorded lineage plan —
+    the reference's sp argument outranks its StatsDB. A store with lineage
+    plus custom hints must produce the HINTED geometry (resumed=2), not the
+    replayed one (resumed=1)."""
+    from zopfli_spark.lineage import lineage_from_pages
+
+    first = encode_table(tokens_df, CFG).cache()
+    lineage = lineage_from_pages(first, CFG.mode)
+    hints = hints_dict(split_hints_from_pages(first))
+    custom = {ck: (ch, b[::2]) for ck, (ch, b) in hints.items()}
+
+    out = encode_table(tokens_df, CFG, lineage=lineage, split_hints=custom).cache()
+    rows = out.select("content_key", "page_id", "n_rows", "resumed").orderBy(
+        "content_key", "page_id"
+    ).collect()
+    assert all(r["resumed"] == 2 for r in rows), "hints must outrank lineage"
+    got: dict[int, list[int]] = {}
+    for r in rows:
+        got.setdefault(r["content_key"], []).append(r["n_rows"])
+    for ck, (ch, b) in custom.items():
+        bounds = list(np.cumsum(got[ck]))[:-1]
+        assert bounds == sorted(b)

@@ -55,18 +55,8 @@ def cmd_encode(args) -> int:
     spark = _spark(args)
     df = spark.read.parquet(args.input)
     hints = spark.read.parquet(args.split_hints) if args.split_hints else None
-    # shuffle partitions must track group count, not a fixed constant: at
-    # 10^12-sequence scale num_groups = sum(n_tok)/group_budget far exceeds
-    # any static setting, and fewer shuffle partitions than groups serializes
-    # the encode stage (VERDICT r1 plan-audit caveat). One scalar agg.
-    from pyspark.sql import functions as F
-
-    total_tok = df.agg(F.sum("n_tok")).collect()[0][0] or 0
-    est_groups = max(1, int(total_tok) // args.group_budget + 1)
-    spark.conf.set(
-        "spark.sql.shuffle.partitions",
-        str(min(max(est_groups, args.shuffle_partitions), 65536)),
-    )
+    # (encode_table repartitions the encode exchange to 2x the group count
+    # itself — no conf juggling or extra input scan needed here)
     t0 = time.time()
     m = encode_to_store(
         df, args.output, _config(args), run_id=args.run_id, split_hints=hints

@@ -121,6 +121,12 @@ def _encode_group(
     )
     content_hash = group_content_hash(values, doc_ids)
     plan = None
+    if hints and hints.get(content_key) is not None:
+        # explicit predefined splits OUTRANK recorded lineage: the caller is
+        # asking for a specific geometry (the reference's sp argument wins
+        # over its StatsDB too) — a lineage hit would silently replay the
+        # old boundaries and ignore the hint
+        plan_tbl, lin = None, None
     if plan_tbl is not None and plan_tbl.num_rows:
         # join-delivered lineage (scalable path): verify the strong hash
         # before trusting the plan (portability-check discipline of the
@@ -504,15 +510,42 @@ def decode_table(pages: DataFrame, config: EngineConfig = DEFAULT_CONFIG) -> Dat
     ensure_shipped(pages.sparkSession)
     verify = config.verify_checksums
 
+    # list<int32> offsets are 32-bit: cap accumulated values per OUTPUT batch
+    # well below 2^31 (a few hundred MB of tokens) — one Arrow input batch of
+    # big pages can otherwise overflow the cumsum into garbage offsets
+    _FLUSH_VALUES = 1 << 27
+
     def dec(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-        # one OUTPUT batch per input batch, not per page: thousands of tiny
+        # batch OUTPUT across pages, not per page: thousands of tiny
         # per-page RecordBatches cost more in Arrow IPC framing + JVM-side
         # batch handling than the decode kernels themselves
+
+        def flush(docs_l, srcs_l, lens_l, vals_l):
+            lens_cat = np.concatenate(lens_l)
+            offsets = np.zeros(len(lens_cat) + 1, dtype=np.int64)
+            np.cumsum(lens_cat, out=offsets[1:])
+            if offsets[-1] > np.iinfo(np.int32).max:
+                raise ValueError("decode batch exceeds int32 list offsets")
+            tokens = pa.ListArray.from_arrays(
+                pa.array(offsets.astype(np.int32)),
+                pa.array(np.concatenate(vals_l), type=pa.int32()),
+            )
+            return pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.concatenate(docs_l), type=pa.string()),
+                    tokens,
+                    pa.array(lens_cat.astype(np.int32)),
+                    pa.array(np.concatenate(srcs_l), type=pa.string()),
+                ],
+                schema=_DECODED_ARROW,
+            )
+
         for b in batches:
             headers = b.column(b.schema.get_field_index("header"))
             payloads = b.column(b.schema.get_field_index("payload"))
             checksums = b.column(b.schema.get_field_index("checksum"))
             docs_l, srcs_l, lens_l, vals_l = [], [], [], []
+            acc_values = 0
             for header, payload, checksum in zip(headers, payloads, checksums):
                 doc_ids, sources, lens, values = decode_page(
                     header.as_py(),
@@ -524,24 +557,13 @@ def decode_table(pages: DataFrame, config: EngineConfig = DEFAULT_CONFIG) -> Dat
                 srcs_l.append(sources)
                 lens_l.append(lens)
                 vals_l.append(values)
-            if not docs_l:
-                continue
-            lens_cat = np.concatenate(lens_l)
-            offsets = np.zeros(len(lens_cat) + 1, dtype=np.int32)
-            np.cumsum(lens_cat, out=offsets[1:])
-            tokens = pa.ListArray.from_arrays(
-                pa.array(offsets),
-                pa.array(np.concatenate(vals_l), type=pa.int32()),
-            )
-            yield pa.RecordBatch.from_arrays(
-                [
-                    pa.array(np.concatenate(docs_l), type=pa.string()),
-                    tokens,
-                    pa.array(lens_cat.astype(np.int32)),
-                    pa.array(np.concatenate(srcs_l), type=pa.string()),
-                ],
-                schema=_DECODED_ARROW,
-            )
+                acc_values += len(values)
+                if acc_values >= _FLUSH_VALUES:
+                    yield flush(docs_l, srcs_l, lens_l, vals_l)
+                    docs_l, srcs_l, lens_l, vals_l = [], [], [], []
+                    acc_values = 0
+            if docs_l:
+                yield flush(docs_l, srcs_l, lens_l, vals_l)
 
     cols = ["header", "payload", "checksum"]
     selected = pages.select(*cols)
@@ -549,11 +571,18 @@ def decode_table(pages: DataFrame, config: EngineConfig = DEFAULT_CONFIG) -> Dat
     # count) — often far more partitions than pages worth decoding. Every
     # python-UDF task costs ~10-20 ms even when empty; at 256 partitions that
     # overhead was 4x the decode kernels themselves. Coalesce (narrow, no
-    # shuffle) to cluster parallelism; coalesce never increases partitions,
-    # so an already-lean input is untouched. Measured: 3.4 s -> 0.8 s for a
-    # 30.7M-token decode on local[32].
+    # shuffle) to cluster parallelism — but ONLY when the input is clearly
+    # over-partitioned (> 4x cores): coalesce collapses the whole fused
+    # upstream stage, and a fused encode→decode pipeline must keep the
+    # fine-grained one-group-per-task balance encode_table arranges.
+    # Measured: 3.4 s -> 0.8 s for a 30.7M-token decode of stored/cached
+    # pages on local[32].
     par = pages.sparkSession.sparkContext.defaultParallelism
-    if par > 0:
+    try:
+        n_in = selected.rdd.getNumPartitions()
+    except Exception:
+        n_in = 0
+    if par > 0 and n_in > 4 * par:
         selected = selected.coalesce(par)
     return selected.mapInArrow(dec, schema=DECODED_SCHEMA)
 

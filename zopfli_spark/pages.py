@@ -206,14 +206,14 @@ def split_by_cost(
         return np.empty(0, dtype=np.int64)
     rc = _RangeCost(values, lens)
     if mode == "dp" and n_rows <= _DP_MAX_ROWS:
-        # exact segmentation under the estimate (GetBestLengths DP +
-        # TraceBackwards); the memory bound (≤ 2× budget per page) is a DP
-        # constraint, so no post-chunking is needed. Measured on the synth
-        # mixture: +1.9% ratio over the greedy driver at ~2.4x encode CPU
-        # (finer pages → more per-page fixed cost) — the deep-search trade,
-        # so it rides the opt-in modes (split_mode="dp", mode_grid) rather
-        # than the default path.
-        return split_dp(rc, lens, page_budget)
+        dp_bounds = split_dp(rc, lens, page_budget)
+        # honor the blocksplittingmax contract: the DP has no native page-
+        # count bound, so a result past the cap (plus the budget-forced
+        # minimum) falls back to the capped greedy driver
+        total_values_dp = int(rc.cum_n[-1])
+        min_pages_dp = max(1, -(-total_values_dp // max(page_budget, 1)))
+        if len(dp_bounds) + 1 <= max(max_pages, min_pages_dp):
+            return dp_bounds
     total_values = int(rc.cum_n[-1])
     min_pages = max(1, -(-total_values // max(page_budget, 1)))
     bounds: list[int] = [0, n_rows]

@@ -160,7 +160,10 @@ def commit_snapshot(pages: DataFrame, root: str, append: bool = True) -> dict:
         .partitionBy("part_id")
         .parquet(data_dir)
     )
-    agg = pages.agg(
+    # summarize from the bytes just written — re-aggregating the (lazy)
+    # input DAG would re-run the whole encode a second time
+    written = pages.sparkSession.read.parquet(data_dir)
+    agg = written.agg(
         F.count("*").alias("pages"),
         F.sum("n_rows").alias("rows"),
         F.sum("n_values").alias("values"),

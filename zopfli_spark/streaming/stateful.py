@@ -31,12 +31,18 @@ TOKENS_SCHEMA = "doc_id string, tokens array<int>, n_tok int, source string"
 def dedup_stream(stream_df: DataFrame) -> DataFrame:
     """Exactly-once emission per content key across all micro-batches.
 
-    Content key = xxhash64(doc_id, tokens, source) — duplicates are
-    *identical docs* (re-delivered files, at-least-once sources), the
-    standard upstream guard before encoding. Within a batch the first row
-    wins; across batches the state-store flag wins."""
+    Content key = TWO independent xxhash64s of (doc_id, tokens, source) —
+    128 key bits, so collisions are ~n²/2^129 (never, at any corpus scale;
+    a single 64-bit key would silently drop ~tens of thousands of distinct
+    docs per 10^12 sequences). Duplicates are *identical docs*
+    (re-delivered files, at-least-once sources), the standard upstream
+    guard before encoding. Within a batch the first row wins; across
+    batches the state-store flag wins."""
     keyed = stream_df.withColumn(
         "_ck", F.xxhash64(F.col("doc_id"), F.col("tokens"), F.col("source"))
+    ).withColumn(
+        "_ck2",
+        F.xxhash64(F.col("doc_id"), F.col("tokens"), F.col("source"), F.lit(0x9E3779B9)),
     )
 
     def emit_first(
@@ -47,10 +53,10 @@ def dedup_stream(stream_df: DataFrame) -> DataFrame:
         for pdf in pdfs:
             if len(pdf):
                 state.update((1,))
-                yield pdf.iloc[:1].drop(columns=["_ck"])
+                yield pdf.iloc[:1].drop(columns=["_ck", "_ck2"])
                 return
 
-    return keyed.groupBy("_ck").applyInPandasWithState(
+    return keyed.groupBy("_ck", "_ck2").applyInPandasWithState(
         emit_first,
         outputStructType=TOKENS_SCHEMA,
         stateStructType="seen int",
