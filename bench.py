@@ -11,17 +11,35 @@ local[$SPARK_GRAFT_CPUS]:
   * roundtrip_lineitem — full encode→decode→aggregate over lineitem-derived docs
   * doc_stats / exact_dedup — relational surface queries
 
-Scaling evidence (north rule: efficiency ≥ 0.8 from N to 4N executors): the
-same encode job runs in two fresh subprocesses at local[N] and local[4N] on
-identical input; efficiency = (thr_4N / thr_N) / 4. See BENCH.md.
+Scaling evidence (north rule: efficiency ≥ 0.8 from N to 4N executors):
+the same encode job — read the SAME parquet input, encode, aggregate — runs
+in fresh subprocesses at local[N] and local[4N]; efficiency =
+(thr_4N / thr_N) / 4.
+
+Measurement discipline (VERDICT r2 next #2 / ADVICE r2):
+  * ONE pre-declared canonical gate pair: 2→8 (both sides far under this
+    guest's ~24 effective cores). 4→16 is sampled identically and reported;
+    8→32 exceeds host capacity and is supporting evidence only (see the
+    cpu_efficiency control and BENCH.md's Spark-free burn test).
+  * lo/hi runs are INTERLEAVED (lo, hi, lo, hi — fresh subprocess per
+    visit): slow host drift lands on both sides instead of one, and best-of
+    across visits picks each side's least-interfered window.
+  * the scaling input is big enough that per-job fixed costs (~1-2 s of
+    scheduling + scan setup) stay ≪ kernel time on the lo side — efficiency
+    at 100 TB is kernel-bound, and a 3-second toy job would measure Spark's
+    constant overheads instead of the engine.
+  * per-run walls are reported in the artifact so the aggregation is
+    auditable.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import shutil
 import subprocess
 import sys
+import tempfile
 import time
 
 
@@ -79,24 +97,19 @@ def _bench_config(n_docs: int, cpus: int):
     )
 
 
-def _encode_job(spark, n_docs: int, seed: int = 42, cfg=None) -> dict:
-    """Materialize synth input, then time encode only (the engine under test)."""
+def _timed_encode(spark, df, cfg, total_tokens: int) -> dict:
+    """Time one encode job: scan → group shuffle → kernel → aggregate."""
     from pyspark.sql import functions as F
 
-    from zopfli_spark import EngineConfig, encode_table
-    from zopfli_spark.datagen import synth_tokens_df
+    from zopfli_spark import encode_table
 
-    cfg = cfg or EngineConfig()
-    df = synth_tokens_df(spark, n_docs, seed=seed).cache()
-    total_tokens = int(df.agg(F.sum("n_tok")).collect()[0][0])
     t0 = time.perf_counter()
-    pages = encode_table(df, cfg)
+    pages = encode_table(df, cfg, total_values=total_tokens)
     agg = pages.agg(
         F.sum("enc_bytes").alias("e"), F.sum("raw_bytes").alias("r"), F.count("*").alias("p"),
         F.sum("enc_us").alias("us"), F.sum("enc_cpu_us").alias("cpu_us"),
     ).collect()[0]
     wall = time.perf_counter() - t0
-    df.unpersist()
     cpu_sec = int(agg["cpu_us"]) / 1e6  # process_time CPU inside the kernel
     return {
         "wall": wall,
@@ -111,56 +124,99 @@ def _encode_job(spark, n_docs: int, seed: int = 42, cfg=None) -> dict:
         # second (process_time — immune to descheduling). Parallelism-
         # independent for a contention-free engine: if this holds constant
         # while wall efficiency drops, the gap is host capacity / scheduler,
-        # not engine serialization (ADVICE r1 medium).
+        # not engine serialization.
         "tokens_per_cpu_sec": total_tokens / max(cpu_sec, 1e-9),
     }
 
 
-def scaling_worker(cores: int, n_docs: int, seed: int, cfg_cpus: int, n_runs: int) -> None:
+def scaling_worker(
+    cores: int, input_path: str, total_tokens: int, n_docs: int, cfg_cpus: int, n_runs: int
+) -> None:
+    """One visit: fresh JVM at local[cores], warm, n_runs timed encodes of
+    the SAME parquet input. Prints every run (auditable best-of)."""
+    from zopfli_spark import encode_table
+    from zopfli_spark.datagen import synth_tokens_df
+
     spark = _mk_spark(cores)
     spark.sparkContext.setLogLevel("ERROR")
     cfg = _bench_config(n_docs, cfg_cpus)
-    _encode_job(spark, n_docs, seed, cfg=cfg)  # warm workers
-    # best-of-N: short timed windows on a shared host are noisy; the best
-    # run is the least-interfered measurement of the same deterministic job
-    runs = [_encode_job(spark, n_docs, seed, cfg=cfg) for _ in range(n_runs)]
-    out = min(runs, key=lambda r: r["wall"])
+    # warm: page-cache the input (F.size forces the tokens column chunks to
+    # actually read — count() is metadata-only) + spin up python workers /
+    # JIT on a small synth encode (1/20 of the job)
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(input_path)
+    df.agg(F.sum(F.size("tokens"))).collect()
+    warm = synth_tokens_df(spark, max(500, n_docs // 20), seed=7)
+    encode_table(warm, cfg).agg({"enc_bytes": "sum"}).collect()
+    runs = [
+        _timed_encode(spark, spark.read.parquet(input_path), cfg, total_tokens)
+        for _ in range(n_runs)
+    ]
+    best = min(runs, key=lambda r: r["wall"])
+    out = dict(best)
     out["cores"] = cores
+    out["all_walls"] = [round(r["wall"], 3) for r in runs]
+    out["all_tokens_per_cpu_sec"] = [round(r["tokens_per_cpu_sec"]) for r in runs]
     print("WORKER_JSON:" + json.dumps(out))
     spark.stop()
 
 
-def _run_scaling(n_docs: int, lo: int, hi: int, n_runs: int = 3) -> dict:
-    res = {}
-    for cores in (lo, hi):
-        p = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--scaling-worker", str(cores), str(n_docs), "42", "32", str(n_runs)],
-            capture_output=True,
-            text=True,
-            timeout=1200,
-            cwd=os.path.dirname(os.path.abspath(__file__)),
-        )
-        line = [l for l in p.stdout.splitlines() if l.startswith("WORKER_JSON:")]
-        if not line:
-            raise RuntimeError(f"scaling worker {cores} failed: {p.stderr[-2000:]}")
-        res[cores] = json.loads(line[-1][len("WORKER_JSON:") :])
-    eff = (res[hi]["tokens_per_sec"] / res[lo]["tokens_per_sec"]) / (hi / lo)
+def _scaling_visit(cores: int, input_path: str, total_tokens: int, n_docs: int, n_runs: int) -> dict:
+    p = subprocess.run(
+        [
+            sys.executable, os.path.abspath(__file__), "--scaling-worker",
+            str(cores), input_path, str(total_tokens), str(n_docs), "32", str(n_runs),
+        ],
+        capture_output=True,
+        text=True,
+        timeout=1200,
+        cwd=os.path.dirname(os.path.abspath(__file__)),
+    )
+    line = [l for l in p.stdout.splitlines() if l.startswith("WORKER_JSON:")]
+    if not line:
+        raise RuntimeError(f"scaling worker {cores} failed: {p.stderr[-2000:]}")
+    return json.loads(line[-1][len("WORKER_JSON:") :])
+
+
+def _run_scaling(
+    input_path: str,
+    total_tokens: int,
+    n_docs: int,
+    lo: int,
+    hi: int,
+    visits: int = 2,
+    runs_per_visit: int = 1,
+) -> dict:
+    """Interleaved lo/hi visits (lo, hi, lo, hi, ...): host drift lands on
+    both sides; best wall per side across all visits."""
+    res: dict[int, list[dict]] = {lo: [], hi: []}
+    for v in range(visits):
+        for cores in (lo, hi):
+            _log(f"scaling {lo}->{hi} visit {v + 1}/{visits} cores={cores}")
+            res[cores].append(_scaling_visit(cores, input_path, total_tokens, n_docs, runs_per_visit))
+    best = {c: min(rs, key=lambda r: r["wall"]) for c, rs in res.items()}
+    eff = (best[hi]["tokens_per_sec"] / best[lo]["tokens_per_sec"]) / (hi / lo)
+    cpu_lo = max(r["tokens_per_cpu_sec"] for r in res[lo])
+    cpu_hi = max(r["tokens_per_cpu_sec"] for r in res[hi])
     return {
         "cores_lo": lo,
         "cores_hi": hi,
-        "tokens_per_sec_lo": res[lo]["tokens_per_sec"],
-        "tokens_per_sec_hi": res[hi]["tokens_per_sec"],
-        "wall_lo_sec": res[lo]["wall"],
-        "wall_hi_sec": res[hi]["wall"],
-        "tokens": res[lo]["tokens"],
+        "tokens_per_sec_lo": best[lo]["tokens_per_sec"],
+        "tokens_per_sec_hi": best[hi]["tokens_per_sec"],
+        "wall_lo_sec": best[lo]["wall"],
+        "wall_hi_sec": best[hi]["wall"],
+        "all_walls_lo": [w for r in res[lo] for w in r["all_walls"]],
+        "all_walls_hi": [w for r in res[hi] for w in r["all_walls"]],
+        "tokens": total_tokens,
         "efficiency": eff,
         # per-worker CPU efficiency: tokens per kernel-CPU-second at hi vs lo.
         # ~1.0 means each worker does identical work per CPU second at both
         # parallelism levels (no engine-side serialization); wall efficiency
         # below that is scheduler/host capacity, not the encode plan.
-        "tokens_per_cpu_sec_lo": res[lo]["tokens_per_cpu_sec"],
-        "tokens_per_cpu_sec_hi": res[hi]["tokens_per_cpu_sec"],
-        "cpu_efficiency": res[hi]["tokens_per_cpu_sec"] / res[lo]["tokens_per_cpu_sec"],
+        "tokens_per_cpu_sec_lo": cpu_lo,
+        "tokens_per_cpu_sec_hi": cpu_hi,
+        "cpu_efficiency": cpu_hi / cpu_lo,
     }
 
 
@@ -190,7 +246,7 @@ def main() -> None:
     total_tokens = int(df.agg(F.sum("n_tok")).collect()[0][0])
     _log(f"encode {total_tokens} tokens")
     t0 = time.perf_counter()
-    pages = encode_table(df, bench_cfg).cache()
+    pages = encode_table(df, bench_cfg, total_values=total_tokens).cache()
     agg = pages.agg(
         F.sum("enc_bytes").alias("e"), F.sum("raw_bytes").alias("r"), F.count("*").alias("p")
     ).collect()[0]
@@ -205,8 +261,14 @@ def main() -> None:
     }
     queries["encode_synth"] = round(enc_wall, 3)
 
+    # the cached pages df is materialized (store-equivalent input), so the
+    # decode may coalesce an over-partitioned scan; the partition count is
+    # the 2×groups encode_table arranged — known, never probed via .rdd
+    num_groups = max(1, -(-total_tokens // bench_cfg.group_budget_values))
     t0 = time.perf_counter()
-    decode_table(pages, bench_cfg).agg(F.sum("n_tok")).collect()
+    decode_table(pages, bench_cfg, input_partitions=2 * num_groups).agg(
+        F.sum("n_tok")
+    ).collect()
     queries["decode_synth"] = round(time.perf_counter() - t0, 3)
     pages.unpersist()
     df.unpersist()
@@ -218,26 +280,34 @@ def main() -> None:
         q(spark, sf_dir).collect()
         queries[qname] = round(time.perf_counter() - t0, 3)
 
+    # ---- scaling input: one deterministic parquet, shared by all workers ----
+    # sized so the lo side of the canonical pair runs ~45-60 s of kernel time
+    # (fixed per-job costs must stay ≪ kernel wall — see module docstring);
+    # the engine got ~3.5× faster this round, so the r2 input would measure
+    # Spark constants, not the engine
+    scale_docs = int(os.environ.get("SPARK_GRAFT_SCALE_DOCS", "160000"))
+    scale_dir = tempfile.mkdtemp(prefix="zs_bench_scale_")
+    scale_path = os.path.join(scale_dir, "tokens.parquet")
+    _log(f"scaling datagen {scale_docs} docs -> {scale_path}")
+    sdf = synth_tokens_df(spark, scale_docs, seed=42)
+    sdf.write.mode("overwrite").parquet(scale_path)
+    scale_tokens = int(
+        spark.read.parquet(scale_path).agg(F.sum("n_tok")).collect()[0][0]
+    )
+    _log(f"scaling input {scale_tokens} tokens")
     spark.stop()
 
-    # Three N→4N pairs (north rule: efficiency ≥ 0.8 between two cluster
-    # sizes). 2→8 and 4→16 both sit under the host's ~24 effective cores
-    # (vCPU overcommit), mirroring a cluster whose hosts are not
-    # oversubscribed; 8→32 is reported for completeness but its hi side
-    # exceeds physical capacity on this sandbox — the cpu_efficiency field
-    # (tokens per kernel-CPU-second, constant across parallelism for a
-    # contention-free engine) separates host saturation from engine
-    # serialization. See BENCH.md.
-    # big enough that fixed JVM/job costs do not dominate the 2-core wall
-    scale_docs = min(max(n_docs, 2000), 24000)
-    _log("scaling 2->8")
-    scaling = _run_scaling(scale_docs, 2, 8, n_runs=3)
-    _log("scaling 4->16")
-    # the north-rule pair gets best-of-4: ~35s extra buys the most
-    # noise-robust sample of the one ratio the rule gates on
-    scaling_mid = _run_scaling(scale_docs, 4, 16, n_runs=4)
-    _log("scaling 8->32")
-    scaling_hi = _run_scaling(scale_docs, 8, min(cpus, 32), n_runs=2)
+    try:
+        # canonical north-rule gate pair, pre-declared: 2→8 (hi side well
+        # under this guest's ~24 effective cores). Interleaved, best-of.
+        scaling = _run_scaling(scale_path, scale_tokens, scale_docs, 2, 8, visits=2, runs_per_visit=1)
+        # second sub-capacity pair, sampled IDENTICALLY (supporting evidence)
+        scaling_mid = _run_scaling(scale_path, scale_tokens, scale_docs, 4, 16, visits=2, runs_per_visit=1)
+        # above-capacity pair: reported for completeness; its hi side exceeds
+        # physical capacity on this sandbox (see BENCH.md burn-test control)
+        scaling_hi = _run_scaling(scale_path, scale_tokens, scale_docs, 8, min(cpus, 32), visits=1, runs_per_visit=2)
+    finally:
+        shutil.rmtree(scale_dir, ignore_errors=True)
 
     total = time.perf_counter() - t_all
     print(
@@ -253,23 +323,19 @@ def main() -> None:
                 "encode_tokens_per_sec": round(enc["tokens_per_sec"]),
                 "compression_ratio": round(enc["raw_bytes"] / enc["enc_bytes"], 3),
                 "pages": enc["pages"],
+                "scale_docs": scale_docs,
+                "scale_tokens": scale_tokens,
                 "scaling": {k: (round(v, 4) if isinstance(v, float) else v) for k, v in scaling.items()},
                 "scaling_mid": {k: (round(v, 4) if isinstance(v, float) else v) for k, v in scaling_mid.items()},
                 "scaling_hi": {k: (round(v, 4) if isinstance(v, float) else v) for k, v in scaling_hi.items()},
-                # north-rule summary: best N->4N wall efficiency among the
-                # pairs whose hi side fits under this guest's honest capacity
-                # (~24 effective cores; the 8->32 pair exceeds it — see
-                # BENCH.md burn-test control), plus the CPU-normalized
-                # engine-side control for the same pair
-                "scaling_efficiency": round(
-                    max(scaling["efficiency"], scaling_mid["efficiency"]), 4
-                ),
-                "scaling_cpu_efficiency": round(
-                    max(scaling["cpu_efficiency"], scaling_mid["cpu_efficiency"]), 4
-                ),
-                "north_rule_met": bool(
-                    max(scaling["efficiency"], scaling_mid["efficiency"]) >= 0.8
-                ),
+                # north-rule summary: gated on the ONE pre-declared canonical
+                # pair (2→8), identical sampling to the supporting pairs — no
+                # max() over pairs (ADVICE r2: a pick-the-best gate can flip
+                # on noise)
+                "north_rule_pair": "2->8",
+                "scaling_efficiency": round(scaling["efficiency"], 4),
+                "scaling_cpu_efficiency": round(scaling["cpu_efficiency"], 4),
+                "north_rule_met": bool(scaling["efficiency"] >= 0.8),
             }
         )
     )
@@ -277,6 +343,9 @@ def main() -> None:
 
 if __name__ == "__main__":
     if len(sys.argv) >= 2 and sys.argv[1] == "--scaling-worker":
-        scaling_worker(int(sys.argv[2]), int(sys.argv[3]), int(sys.argv[4]), int(sys.argv[5]), int(sys.argv[6]))
+        scaling_worker(
+            int(sys.argv[2]), sys.argv[3], int(sys.argv[4]), int(sys.argv[5]),
+            int(sys.argv[6]), int(sys.argv[7]),
+        )
     else:
         main()

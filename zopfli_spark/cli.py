@@ -37,7 +37,7 @@ def _spark(args):
 def _config(args):
     from .config import EngineConfig
 
-    return EngineConfig(
+    kw = dict(
         page_budget_values=args.page_budget,
         group_budget_values=args.group_budget,
         giant_doc_values=args.giant_budget or args.group_budget // 2,
@@ -47,6 +47,21 @@ def _config(args):
         hints_additional_split=getattr(args, "aas", False),
         mode_grid=getattr(args, "all", False),
     )
+    if args.no_huffman:
+        kw["try_huffman"] = False
+    if args.plane_strategy:
+        kw["plane_strategy"] = args.plane_strategy
+    if args.codecs:
+        kw["codec_allowlist"] = tuple(args.codecs.split(","))
+    if args.recompress_passes is not None:
+        kw["recompress_passes"] = args.recompress_passes
+    # the speed/size dial (the reference's whole product is this dial):
+    # profile presets compose with explicit flags (flags win)
+    if args.profile == "throughput":
+        return EngineConfig.throughput(**kw)
+    if args.profile == "ratio":
+        return EngineConfig.ratio(**kw)
+    return EngineConfig(**kw)
 
 
 def cmd_encode(args) -> int:
@@ -85,10 +100,14 @@ def cmd_encode(args) -> int:
 
 def cmd_decode(args) -> int:
     from .engine import decode_table
-    from .sources.store import read_pages
+    from .sources.store import read_pages, store_partition_count
 
     spark = _spark(args)
-    decoded = decode_table(read_pages(spark, args.input), _config(args))
+    decoded = decode_table(
+        read_pages(spark, args.input),
+        _config(args),
+        input_partitions=store_partition_count(args.input),
+    )
     decoded.write.mode("overwrite").parquet(args.output)
     print(json.dumps({"rows": spark.read.parquet(args.output).count()}))
     return 0
@@ -96,11 +115,15 @@ def cmd_decode(args) -> int:
 
 def cmd_verify(args) -> int:
     from .engine import decode_table, roundtrip_check
-    from .sources.store import read_pages
+    from .sources.store import read_pages, store_partition_count
 
     spark = _spark(args)
     original = spark.read.parquet(args.input)
-    decoded = decode_table(read_pages(spark, args.store), _config(args))
+    decoded = decode_table(
+        read_pages(spark, args.store),
+        _config(args),
+        input_partitions=store_partition_count(args.store),
+    )
     bad = roundtrip_check(original, decoded).count()
     print(json.dumps({"mismatches": bad, "ok": bad == 0}))
     return 0 if bad == 0 else 1
@@ -135,6 +158,18 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--iterations", type=int, default=5)
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--run-id", default="cli")
+    p.add_argument("--profile", choices=("default", "throughput", "ratio"),
+                   default="default",
+                   help="speed/size preset: 'throughput' skips entropy search, "
+                        "'ratio' is the slow-but-smaller zopfli end")
+    p.add_argument("--no-huffman", action="store_true",
+                   help="disable the canonical-Huffman candidate (CPU dial)")
+    p.add_argument("--plane-strategy", choices=("rle", "default", "both"),
+                   default=None, help="PLANE_ZLIB per-plane DEFLATE strategy")
+    p.add_argument("--codecs", default=None,
+                   help="comma-separated codec allow-list (PLAIN always kept)")
+    p.add_argument("--recompress-passes", type=int, default=None,
+                   help="--pass analog: re-encode worst pages at full effort")
     sub = p.add_subparsers(dest="cmd", required=True)
 
     enc = sub.add_parser("encode", help="encode a tokens parquet into a page store")

@@ -135,20 +135,47 @@ def _enc_for_zlib(v: np.ndarray, base: int, width: int, level: int) -> bytes:
     return bytes([FOR_ZLIB]) + _I64.pack(int(base)) + bytes([width]) + zlib.compress(pack_bits(resid, width), level)
 
 
-def _enc_plane_zlib(v: np.ndarray, base: int, width: int, level: int) -> bytes:
+def _zcomp(data: bytes, level: int, strategy: int) -> bytes:
+    c = zlib.compressobj(level, zlib.DEFLATED, 15, 9, strategy)
+    return c.compress(data) + c.flush()
+
+
+def _compress_plane(data: bytes, level: int, strategy: str) -> bytes:
+    """One byte plane → DEFLATE stream under the configured strategy.
+
+    ``rle`` (Z_RLE: distance-1 matches + full Huffman literals) measured on
+    the synth mixture: 4-7% SMALLER and 5-8× faster than the default
+    match-search strategy on every plane where PLANE_ZLIB wins the argmin
+    (token byte planes are runs + a zipf head; long-range matches mostly emit
+    length/distance codes costlier than literals). ``both`` is the ratio-
+    first dial: exact keep-if-smaller between the two streams."""
+    if strategy == "default":
+        return zlib.compress(data, level)
+    r = _zcomp(data, level, zlib.Z_RLE)
+    if strategy == "rle":
+        return r
+    d = zlib.compress(data, level)
+    return d if len(d) < len(r) else r
+
+
+def _enc_plane_zlib(
+    v: np.ndarray, base: int, width: int, level: int, strategy: str = "rle"
+) -> bytes:
     """Frame-of-reference, then split residuals into byte planes and DEFLATE
     each plane. The platform DEFLATE (zlib) is the entropy-coding backend —
     the same format family the reference emits (RFC 1951); our cost model
     decides when it runs, like AddLZ77BlockAutoType decides stored vs huffman
     (reference src/zopfli/deflate.c:1071-1131). Byte-plane splitting keeps
     each plane's symbol distribution tight, which DEFLATE's per-byte Huffman
-    exploits far better than 4-byte-wide little-endian words."""
+    exploits far better than 4-byte-wide little-endian words. The decoder is
+    strategy-agnostic (any RFC1950 stream), so the strategy dial never
+    changes the format."""
     resid = (v - base).astype(np.uint32)
     n_planes = max(1, (width + 7) // 8)
     parts = [bytes([PLANE_ZLIB]) + _I64.pack(int(base)) + bytes([n_planes])]
     for k in range(n_planes):
         plane = ((resid >> np.uint32(8 * k)) & np.uint32(0xFF)).astype(np.uint8)
-        z = zlib.compress(plane.tobytes(), level)
+        z = _compress_plane(plane.tobytes(), level, strategy)
         parts.append(_U32.pack(len(z)) + z)
     return b"".join(parts)
 
@@ -351,15 +378,44 @@ def _huffman_select_lengths(
     return l1, b1
 
 
-def _enc_huffman(v: np.ndarray, uniq: np.ndarray, inverse: np.ndarray, lengths: np.ndarray) -> bytes:
+def _emit_bits(starts: np.ndarray, tok_code: np.ndarray, tok_len: np.ndarray, total_bits: int) -> bytes:
+    """MSB-first bitstream emission, fully vectorized (AddHuffmanBits analog,
+    reference src/zopfli/deflate.c:49-83).
+
+    Each ≤15-bit code at bit offset ``s`` lives inside a 3-byte window
+    starting at byte ``s >> 3`` (7-bit misalignment + 15 bits ≤ 24). Codes
+    occupy DISJOINT bit ranges, so contributions to a shared byte are
+    disjoint bitmasks — and OR of disjoint masks equals SUM, which one
+    ``np.bincount(weights=...)`` computes in C. Replaces the per-bit scatter
+    array (O(total_bits) memory + maxlen masked passes): measured ~8× faster
+    on 500k-value zipf pages."""
+    q, r = np.divmod(starts, 8)
+    window = tok_code << (24 - r - tok_len)  # 24-bit big-endian window
+    nbytes = (total_bits + 7) // 8
+    pos = np.concatenate((q, q + 1, q + 2))
+    contrib = np.concatenate(
+        ((window >> 16) & 0xFF, (window >> 8) & 0xFF, window & 0xFF)
+    )
+    acc = np.bincount(pos, weights=contrib, minlength=nbytes + 2)
+    return acc[:nbytes].astype(np.uint8).tobytes()
+
+
+def _enc_huffman(
+    v: np.ndarray,
+    uniq: np.ndarray,
+    inverse: np.ndarray,
+    lengths: np.ndarray,
+    budget: int = 1 << 62,
+) -> bytes | None:
     """Emit the canonical-Huffman bitstream over dictionary indices.
 
     Entropy coding of the symbol stream with length-limited optimal code
     lengths (reference src/zopfli/katajainen.c:191-283 via model.package_merge,
-    emission discipline of AddHuffmanBits, src/zopfli/deflate.c:49-83) —
-    fully vectorized: per-token code/length arrays, one bit-scatter pass per
-    code-length column, np.packbits. A bit offset is recorded every K tokens
-    so decode can run all miniblocks in parallel."""
+    emission discipline of AddHuffmanBits, src/zopfli/deflate.c:49-83).
+    Every component's EXACT size is known before the payload bitstream is
+    built (ZopfliCalculateBlockSize discipline, deflate.c:877-906), so a
+    candidate that cannot beat ``budget`` returns None without paying for
+    emission — the costliest stage."""
     codes = _canonical_codes(lengths)
     tok_len = lengths[inverse]
     tok_code = codes[inverse]
@@ -368,17 +424,19 @@ def _enc_huffman(v: np.ndarray, uniq: np.ndarray, inverse: np.ndarray, lengths: 
     np.cumsum(tok_len, out=offs[1:])
     total_bits = int(offs[-1])
     starts = offs[:-1]
-    bits = np.zeros(total_bits, dtype=np.uint8)
-    for j in range(int(tok_len.max())):
-        m = tok_len > j
-        bits[starts[m] + j] = (tok_code[m] >> (tok_len[m] - 1 - j)) & 1
-    payload = np.packbits(bits).tobytes()
     offsets_blob = encode_simple(starts[::_HUFF_K])
     dict_blob = encode_simple(uniq)
     # the code-length table is itself entropy-coded (DEFLATE transmits its
     # tree huffman-coded too — reference src/zopfli/deflate.c:118-293); the
     # recursion terminates because the inner alphabet is ≤ maxbits symbols
     len_tbl = encode_best(lengths, try_zlib=False, allowed=_LEN_TBL_ALLOWED)
+    exact_size = (
+        1 + 4 + 4 + len(dict_blob) + 1 + 4 + len(len_tbl) + 2 + 4
+        + len(offsets_blob) + 4 + (total_bits + 7) // 8
+    )
+    if exact_size >= budget:
+        return None
+    payload = _emit_bits(starts, tok_code, tok_len, total_bits)
     return (
         bytes([HUFFMAN])
         + _U32.pack(len(uniq))
@@ -451,7 +509,9 @@ def _dec_huffman(body: memoryview, n: int) -> np.ndarray:
     return dict_vals[(out2d.T.ravel()[:n]) >> 4]
 
 
-def encode_forced(v: np.ndarray, codec_name: str, *, zlib_level: int = 6) -> bytes:
+def encode_forced(
+    v: np.ndarray, codec_name: str, *, zlib_level: int = 6, plane_strategy: str = "rle"
+) -> bytes:
     """Re-encode with a previously recorded winning codec — the lineage resume
     fast path (StatsDB hit, reference src/zopfli/deflate.c:1177-1211): skips
     the candidate search entirely and reproduces the original bytes, because
@@ -459,6 +519,10 @@ def encode_forced(v: np.ndarray, codec_name: str, *, zlib_level: int = 6) -> byt
     if "@" in codec_name:  # level-pinned zlib-family winner (recompress pass)
         codec_name, lvl = codec_name.split("@", 1)
         zlib_level = int(lvl)
+        if codec_name == "plane_zlib":
+            # the recompress pass always searches both plane strategies
+            # (keep-if-smaller), so its recorded winners replay the same way
+            plane_strategy = "both"
     v = _as_i64(v)
     n = len(v)
     if n == 0 or codec_name == "plain":
@@ -489,7 +553,7 @@ def encode_forced(v: np.ndarray, codec_name: str, *, zlib_level: int = 6) -> byt
             raise ValueError("dict_shift forced on non-viable page")
         return blob
     if codec_name == "plane_zlib":
-        return _enc_plane_zlib(v, vmin, w_for, zlib_level)
+        return _enc_plane_zlib(v, vmin, w_for, zlib_level, plane_strategy)
     if codec_name == "zlib":
         return _enc_zlib(v, zlib_level)
     if codec_name == "for_zlib":
@@ -503,6 +567,9 @@ def encode_best(
     zlib_level: int = 6,
     try_zlib: bool = True,
     allowed: frozenset | None = None,
+    plane_strategy: str = "rle",
+    try_huffman: bool = True,
+    huffman_headroom: float = 0.8,
 ) -> bytes:
     """Encode with the exact-cost argmin over all viable codecs.
 
@@ -582,47 +649,12 @@ def encode_best(
             best_size = len(blob)
 
     # --- entropy-coded candidates (gated) --------------------------------------
+    # PLANE_ZLIB runs FIRST: under the Z_RLE strategy it is the cheap
+    # workhorse (~5× faster than match-search DEFLATE), so its realized size
+    # becomes the bar the Huffman gate must clear — pruning the package-merge
+    # machinery on pages where plane DEFLATE already sits at/below entropy
+    # (mixed-kind pages exploit ORDER structure order-0 Huffman cannot).
     counts = None
-    if ok(HUFFMAN) and n >= 64:
-        # canonical Huffman over dict indices: exact payload bits are known
-        # analytically from (counts · code lengths) before any emission —
-        # the ZopfliCalculateBlockSize discipline (reference deflate.c:877-906)
-        if uniq is None:
-            uniq, inverse = np.unique(v, return_inverse=True)
-        card = len(uniq)
-        if 2 <= card <= _HUFF_MAX_CARD:
-            counts = np.bincount(inverse)
-            # two-stage lower bound (GetCostModelMinCost discipline): Shannon
-            # entropy bounds the Huffman payload from below, so a cheap gate
-            # runs before the package-merge; exact (counts · lengths) after.
-            # The gate also prices the code-length TABLE (~3 bits/symbol
-            # packed) — without it, pages whose analytic best already sits
-            # near entropy paid a full package-merge just to lose.
-            lb_dict = 10 + (card - 1 + 7) // 8
-            fixed = 1 + 4 + 4 + lb_dict + 1 + 4 + 9 + 2 + 4 + 1 + 4
-            lb_table = (card * 3) // 8
-            # demand a REAL entropy gap (>=20% vs the analytic best) before
-            # paying the package-merge + emission machinery. Mid-card
-            # zipfian token pages — the north-star workload — sit at gap
-            # ~0.7 and are exactly where canonical Huffman beats byte-plane
-            # DEFLATE by ~4-13% (the VERDICT r1 flagship case), so the gate
-            # must admit them; tightening to 0.65 would hand those pages to
-            # plane_zlib. Measured on the mixture: 107s -> 73s encode CPU at
-            # identical ratio vs an ungated gate (the pruned evaluations all
-            # lost), vs 43s at 0.65 which forfeits the zipf-midcard wins.
-            if fixed + lb_table + int(_entropy_bits(counts)) // 8 < 0.8 * best_size:
-                # optimal lengths first; the exact unsmoothed payload is a
-                # lower bound for both variants, so it gates BEFORE paying
-                # for the smoothed-variant comparison
-                l1 = package_merge(counts, _HUFF_MAXBITS)
-                p1 = int((counts * l1).sum())
-                if fixed + (p1 + 7) // 8 < best_size:
-                    lengths, _ = _huffman_select_lengths(counts, l1=l1)
-                    blob = _enc_huffman(v, uniq, inverse, lengths)
-                    if len(blob) < best_size:
-                        candidates.append(blob)
-                        best_size = len(blob)
-
     if try_zlib and ok(PLANE_ZLIB) and n >= 64:
         # run DEFLATE only when the bitpack-family best is still far above the
         # order-0 entropy bound — i.e. distributional structure remains that
@@ -630,14 +662,48 @@ def encode_best(
         # GetCostModelMinCost (reference src/zopfli/squeeze.c:201-236).
         if uniq is None:
             uniq, inverse = np.unique(v, return_inverse=True)
-        if counts is None:
-            counts = np.bincount(inverse)
+        counts = np.bincount(inverse)
         h_bytes = _entropy_bits(counts) / 8.0
         if best_size > h_bytes * 1.1:
-            pz = _enc_plane_zlib(v, vmin, w_for, zlib_level)
+            pz = _enc_plane_zlib(v, vmin, w_for, zlib_level, plane_strategy)
             if len(pz) < best_size:
                 candidates.append(pz)
                 best_size = len(pz)
+
+    if try_huffman and ok(HUFFMAN) and n >= 64:
+        # canonical Huffman over dict indices: exact payload bits are known
+        # analytically from (counts · code lengths) before any emission —
+        # the ZopfliCalculateBlockSize discipline (reference deflate.c:877-906)
+        if uniq is None:
+            uniq, inverse = np.unique(v, return_inverse=True)
+        card = len(uniq)
+        if 2 <= card <= _HUFF_MAX_CARD:
+            if counts is None:
+                counts = np.bincount(inverse)
+            # two-stage lower bound (GetCostModelMinCost discipline): Shannon
+            # entropy bounds the Huffman payload from below, so a cheap gate
+            # runs before the package-merge; exact (counts · lengths) after.
+            # The gate also prices the code-length TABLE (~3 bits/symbol
+            # packed) — without it, pages whose best already sits near
+            # entropy paid a full package-merge just to lose. The headroom
+            # factor is the CPU/ratio dial (EngineConfig.huffman_headroom):
+            # at 0.8 only pages with a ≥20% entropy gap vs the realized best
+            # (now including plane DEFLATE) pay the search.
+            lb_dict = 10 + (card - 1 + 7) // 8
+            fixed = 1 + 4 + 4 + lb_dict + 1 + 4 + 9 + 2 + 4 + 1 + 4
+            lb_table = (card * 3) // 8
+            if fixed + lb_table + int(_entropy_bits(counts)) // 8 < huffman_headroom * best_size:
+                # optimal lengths first; the exact unsmoothed payload is a
+                # lower bound for both variants, so it gates BEFORE paying
+                # for the smoothed-variant comparison
+                l1 = package_merge(counts, _HUFF_MAXBITS)
+                p1 = int((counts * l1).sum())
+                if fixed + (p1 + 7) // 8 < best_size:
+                    lengths, _ = _huffman_select_lengths(counts, l1=l1)
+                    blob = _enc_huffman(v, uniq, inverse, lengths, budget=best_size)
+                    if blob is not None:
+                        candidates.append(blob)
+                        best_size = len(blob)
 
     if not candidates or best_size >= plain_size:
         return _enc_plain(v)

@@ -80,6 +80,20 @@ _DECODED_ARROW = pa.schema(
 )
 
 
+def _allowlist_tags(names: tuple[str, ...] | None) -> frozenset | None:
+    """Codec allow-list names → kernel tags (the ZopfliOptions codec dial,
+    SURVEY §1.2). PLAIN is always admitted — the stored-block guarantee."""
+    if names is None:
+        return None
+    from .codecs.kernels import CODEC_NAMES, PLAIN
+
+    by_name = {v: k for k, v in CODEC_NAMES.items()}
+    unknown = [n for n in names if n not in by_name]
+    if unknown:
+        raise ValueError(f"unknown codec names in allow-list: {unknown}")
+    return frozenset({PLAIN} | {by_name[n] for n in names})
+
+
 def _tokens_flat(tbl: pa.Table) -> tuple[np.ndarray, np.ndarray]:
     """(values int32, lens int64) from the Arrow list column — zero-copy."""
     col = tbl.column("tokens").combine_chunks()
@@ -121,11 +135,14 @@ def _encode_group(
     )
     content_hash = group_content_hash(values, doc_ids)
     plan = None
-    if hints and hints.get(content_key) is not None:
+    _hint_rec = hints.get(content_key) if hints else None
+    if _hint_rec is not None and _hint_rec[0] == content_hash:
         # explicit predefined splits OUTRANK recorded lineage: the caller is
         # asking for a specific geometry (the reference's sp argument wins
         # over its StatsDB too) — a lineage hit would silently replay the
-        # old boundaries and ignore the hint
+        # old boundaries and ignore the hint. Only a hint whose STRONG hash
+        # matches may outrank: a stale hint (key collision / drift) must not
+        # silently disable lineage resume (ADVICE r2).
         plan_tbl, lin = None, None
     if plan_tbl is not None and plan_tbl.num_rows:
         # join-delivered lineage (scalable path): verify the strong hash
@@ -199,6 +216,8 @@ def _encode_group(
     t_enc0 = time.perf_counter()
     t_cpu0 = time.process_time()
 
+    allowed_tags = _allowlist_tags(config.codec_allowlist)
+
     def encode_rows(
         r0: int,
         r1: int,
@@ -217,6 +236,10 @@ def _encode_group(
             forced_codec=forced,
             level_tag=level,
             zlib_only=zlib_only,
+            plane_strategy=config.plane_strategy,
+            try_huffman=config.try_huffman,
+            huffman_headroom=config.huffman_headroom,
+            allowed=allowed_tags,
         )
 
     pages = [
@@ -435,6 +458,7 @@ def encode_table(
     config: EngineConfig = DEFAULT_CONFIG,
     lineage=None,
     split_hints=None,
+    total_values: int | None = None,
 ) -> DataFrame:
     """Encode a tokens table → encoded-pages DataFrame (lazy).
 
@@ -452,7 +476,7 @@ def encode_table(
     Hints are boundary lists, ~bytes per group — broadcast-sized at any data
     scale (unlike lineage plans, which ride the cogroup join)."""
     ensure_shipped(df.sparkSession)
-    grouped, num_groups = plan_groups(df, config)
+    grouped, num_groups = plan_groups(df, config, total_values=total_values)
     hints = hints_dict(split_hints)
     # task count must track GROUP count, not spark.sql.shuffle.partitions: a
     # fixed conf serializes the encode stage once num_groups outgrows it
@@ -502,11 +526,23 @@ def encode_table(
     )
 
 
-def decode_table(pages: DataFrame, config: EngineConfig = DEFAULT_CONFIG) -> DataFrame:
+def decode_table(
+    pages: DataFrame,
+    config: EngineConfig = DEFAULT_CONFIG,
+    input_partitions: int | None = None,
+) -> DataFrame:
     """Decode encoded pages back to the original tokens table (lazy).
 
     Pages are independent → mapInArrow (narrow, no shuffle); decoded token
-    arrays are emitted as flat Arrow list buffers (no per-row boxing)."""
+    arrays are emitted as flat Arrow list buffers (no per-row boxing).
+
+    ``input_partitions``: partition count of a STORE-BACKED pages input
+    (e.g. ``store.store_partition_count``). When supplied and clearly
+    over-partitioned, the scan is coalesced to cluster parallelism. Never
+    probed from the plan itself: ``.rdd.getNumPartitions()`` on a fused
+    encode→decode pipeline materializes upstream shuffle stages at
+    plan-construction time under AQE AND would coalesce away the
+    one-group-per-task balance encode_table arranges (ADVICE r2 medium)."""
     ensure_shipped(pages.sparkSession)
     verify = config.verify_checksums
 
@@ -567,22 +603,15 @@ def decode_table(pages: DataFrame, config: EngineConfig = DEFAULT_CONFIG) -> Dat
 
     cols = ["header", "payload", "checksum"]
     selected = pages.select(*cols)
-    # pages inherit the encode shuffle's partition count (or the store's file
-    # count) — often far more partitions than pages worth decoding. Every
-    # python-UDF task costs ~10-20 ms even when empty; at 256 partitions that
-    # overhead was 4x the decode kernels themselves. Coalesce (narrow, no
-    # shuffle) to cluster parallelism — but ONLY when the input is clearly
-    # over-partitioned (> 4x cores): coalesce collapses the whole fused
-    # upstream stage, and a fused encode→decode pipeline must keep the
-    # fine-grained one-group-per-task balance encode_table arranges.
-    # Measured: 3.4 s -> 0.8 s for a 30.7M-token decode of stored/cached
-    # pages on local[32].
+    # a store-backed pages scan often has far more file-partitions than pages
+    # worth decoding. Every python-UDF task costs ~10-20 ms even when empty;
+    # at 256 partitions that overhead was 4x the decode kernels themselves.
+    # Coalesce (narrow, no shuffle) to cluster parallelism — but ONLY when
+    # the caller says the input is store-backed and clearly over-partitioned
+    # (> 4x cores). Measured: 3.4 s -> 0.8 s for a 30.7M-token decode of
+    # stored pages on local[32].
     par = pages.sparkSession.sparkContext.defaultParallelism
-    try:
-        n_in = selected.rdd.getNumPartitions()
-    except Exception:
-        n_in = 0
-    if par > 0 and n_in > 4 * par:
+    if input_partitions is not None and par > 0 and input_partitions > 4 * par:
         selected = selected.coalesce(par)
     return selected.mapInArrow(dec, schema=DECODED_SCHEMA)
 

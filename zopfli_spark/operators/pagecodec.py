@@ -83,6 +83,10 @@ def encode_page(
     forced_codec: str | None = None,
     level_tag: int | None = None,
     zlib_only: bool = False,
+    plane_strategy: str = "rle",
+    try_huffman: bool = True,
+    huffman_headroom: float = 0.8,
+    allowed: frozenset | None = None,
 ) -> tuple[bytes, bytes, str, int]:
     """→ (header, payload, codec_name, checksum). ``forced_codec`` is the
     lineage resume fast path (skip the argmin, reproduce recorded winner);
@@ -100,18 +104,28 @@ def encode_page(
         + source_blob
     )
     if forced_codec is not None:
-        payload = encode_forced(values, forced_codec, zlib_level=zlib_level)
+        payload = encode_forced(
+            values, forced_codec, zlib_level=zlib_level, plane_strategy=plane_strategy
+        )
         name = forced_codec
     else:
-        allowed = None
         if zlib_only:
             # recompress pass: only the zlib family responds to the level
-            # knob; PLAIN stays in as the stored-block guarantee
+            # knob; PLAIN stays in as the stored-block guarantee. 'both'
+            # strategy = the try-harder analog for the plane codec.
             from ..codecs.kernels import FOR_ZLIB, PLAIN, PLANE_ZLIB, ZLIB
 
-            allowed = frozenset({PLAIN, ZLIB, FOR_ZLIB, PLANE_ZLIB})
+            zl = frozenset({PLAIN, ZLIB, FOR_ZLIB, PLANE_ZLIB})
+            allowed = zl if allowed is None else (allowed & zl) | {PLAIN}
+            plane_strategy = "both"
         payload = encode_best(
-            values, zlib_level=zlib_level, try_zlib=try_zlib, allowed=allowed
+            values,
+            zlib_level=zlib_level,
+            try_zlib=try_zlib,
+            allowed=allowed,
+            plane_strategy=plane_strategy,
+            try_huffman=try_huffman,
+            huffman_headroom=huffman_headroom,
         )
         name = blob_codec_name(payload)
         if level_tag is not None and name in ("zlib", "for_zlib", "plane_zlib"):

