@@ -148,7 +148,7 @@ def test_string_roundtrip(name):
     s = STRING_CASES[name]
     blob = encode_strings(s)
     out = decode_strings(blob, len(s))
-    assert list(out) == list(s)
+    assert out.to_pylist() == list(s)
 
 
 def test_fsst_compresses_doc_ids():
@@ -201,7 +201,7 @@ def test_property_structured_runs(base, nvals, maxrun, seed):
 def test_property_string_roundtrip(xs):
     s = np.array(xs, dtype=object)
     blob = encode_strings(s)
-    assert list(decode_strings(blob, len(s))) == xs
+    assert decode_strings(blob, len(s)).to_pylist() == xs
 
 
 def test_dict_shift_wins_on_clustered_noise_page():

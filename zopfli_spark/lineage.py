@@ -32,11 +32,19 @@ LINEAGE_SCHEMA = (
 )
 
 
-def group_content_hash(values: np.ndarray, doc_ids: np.ndarray) -> int:
-    """Signed-int64 BLAKE2b of the group's content (CRC32-key analog)."""
+def group_content_hash(values: np.ndarray, doc_ids) -> int:
+    """Signed-int64 BLAKE2b of the group's content (CRC32-key analog).
+
+    ``doc_ids`` is a pa.StringArray (or object-array-like): hashed as
+    length-prefixed utf-8 straight from the Arrow buffers — unambiguous
+    (unlike a joiner char, which a doc_id could contain) and loop-free."""
+    from .codecs.strings import _utf8_buffers, as_string_array
+
     h = hashlib.blake2b(digest_size=8)
     h.update(np.ascontiguousarray(values, dtype="<i4").tobytes())
-    h.update("\x00".join(map(str, doc_ids)).encode("utf-8"))
+    data, lens = _utf8_buffers(as_string_array(doc_ids))
+    h.update(lens.astype("<i8").tobytes())
+    h.update(data)
     return int.from_bytes(h.digest(), "little", signed=True)
 
 

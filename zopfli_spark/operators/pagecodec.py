@@ -34,7 +34,12 @@ from ..codecs.kernels import (
     encode_forced,
     encode_simple,
 )
-from ..codecs.strings import decode_strings, encode_strings
+from ..codecs.strings import (
+    _utf8_buffers,
+    as_string_array,
+    decode_strings,
+    encode_strings,
+)
 
 _U32 = struct.Struct("<I")
 
@@ -43,33 +48,20 @@ def crc32_of_values(values: np.ndarray) -> int:
     return zlib.crc32(np.ascontiguousarray(values, dtype="<i4").tobytes())
 
 
-def _crc_strings(strings: np.ndarray, crc: int) -> int:
-    """Chain CRC over length-prefixed utf-8 bytes (unambiguous concat).
-
-    Arrow does the utf-8 encoding in one C pass (its string array IS the
-    concatenated utf-8 buffer + offsets) — the previous per-string
-    ``str.encode`` loop was the last per-row Python on the decode path."""
-    import pyarrow as pa
-
-    a = pa.array(strings.tolist(), type=pa.large_string())
-    offs = np.frombuffer(a.buffers()[1], dtype=np.int64)[
-        a.offset : a.offset + len(a) + 1
-    ]
-    lens = np.diff(offs).astype("<i8")
-    crc = zlib.crc32(lens.tobytes(), crc)
-    data = a.buffers()[2]
-    blob = data.to_pybytes()[offs[0] : offs[-1]] if data is not None else b""
-    return zlib.crc32(blob, crc)
+def _crc_strings(strings, crc: int) -> int:
+    """Chain CRC over length-prefixed utf-8 bytes (unambiguous concat) —
+    computed directly from the Arrow string buffers, no per-row Python."""
+    data, lens = _utf8_buffers(as_string_array(strings))
+    crc = zlib.crc32(lens.astype("<i8").tobytes(), crc)
+    return zlib.crc32(data, crc)
 
 
-def page_checksum(
-    doc_ids: np.ndarray, sources: np.ndarray, lens: np.ndarray, values: np.ndarray
-) -> int:
+def page_checksum(doc_ids, sources, lens: np.ndarray, values: np.ndarray) -> int:
     """CRC over all original page content — values AND header fields."""
     crc = crc32_of_values(values)
     crc = zlib.crc32(np.ascontiguousarray(lens, dtype="<i8").tobytes(), crc)
-    crc = _crc_strings(np.asarray(doc_ids, dtype=object), crc)
-    return _crc_strings(np.asarray(sources, dtype=object), crc)
+    crc = _crc_strings(doc_ids, crc)
+    return _crc_strings(sources, crc)
 
 
 def encode_page(
@@ -88,13 +80,14 @@ def encode_page(
     huffman_headroom: float = 0.8,
     allowed: frozenset | None = None,
 ) -> tuple[bytes, bytes, str, int]:
-    """→ (header, payload, codec_name, checksum). ``forced_codec`` is the
-    lineage resume fast path (skip the argmin, reproduce recorded winner);
-    ``level_tag`` pins non-default zlib levels into the codec name so resume
-    reproduces recompressed pages exactly."""
+    """→ (header, payload, codec_name, checksum). ``doc_ids``/``sources``
+    may be pa.StringArray (hot path, buffer-native) or object arrays.
+    ``forced_codec`` is the lineage resume fast path (skip the argmin,
+    reproduce recorded winner); ``level_tag`` pins non-default zlib levels
+    into the codec name so resume reproduces recompressed pages exactly."""
     lens_blob = encode_simple(np.asarray(lens, dtype=np.int64))
-    docid_blob = encode_strings(np.asarray(doc_ids, dtype=object))
-    source_blob = encode_strings(np.asarray(sources, dtype=object))
+    docid_blob = encode_strings(doc_ids)
+    source_blob = encode_strings(sources)
     header = (
         _U32.pack(len(doc_ids))
         + _U32.pack(len(lens_blob))
@@ -135,11 +128,12 @@ def encode_page(
 
 def decode_page(
     header: bytes, payload: bytes, checksum: int | None = None, split_rows: bool = True
-) -> tuple[np.ndarray, np.ndarray, np.ndarray, list[np.ndarray] | np.ndarray]:
+):
     """→ (doc_ids, sources, lens, tokens); verifies checksum if given.
 
-    ``tokens`` is a list of per-row arrays when ``split_rows`` else the flat
-    value array (the Arrow values-buffer form — no per-row splitting)."""
+    ``doc_ids``/``sources`` are pa.StringArray (flat utf-8 buffers — no
+    per-row boxing anywhere on the decode path). ``tokens`` is a list of
+    per-row arrays when ``split_rows`` else the flat value array."""
     (n_rows,) = _U32.unpack(header[:4])
     off = 4
     (lb_len,) = _U32.unpack(header[off : off + 4])
