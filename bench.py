@@ -89,7 +89,11 @@ def _bench_config(n_docs: int, cpus: int):
     from zopfli_spark import EngineConfig
 
     est_tokens = n_docs * 1600  # measured synth average incl. long tail
-    group_budget = max(1 << 18, min(1 << 22, est_tokens // (cpus * 6)))
+    # floor at 1M values/group: tiny groups mean tiny PAGES, and per-page
+    # fixed costs (header codecs, probe setup) made 262k-value pages ~4x
+    # slower per token than the ≥1M pages a 100 TB run would use — the bench
+    # must measure the representative regime, not a small-input artifact
+    group_budget = max(1 << 20, min(1 << 22, est_tokens // (cpus * 6)))
     return EngineConfig(
         group_budget_values=group_budget,
         giant_doc_values=max(group_budget // 2, 1 << 17),

@@ -145,3 +145,54 @@ def test_streaming_restart_processes_only_new_files(spark, tmp_path_factory):
     assert pages.count() > n_pages_1
     decoded = decode_table(pages, CFG)
     assert roundtrip_check(df, decoded).count() == 0, "all docs, each exactly once"
+
+
+def test_stateful_dedup_ttl_expires_and_readmits(spark, tmp_path_factory):
+    """With a state TTL, an expired key's flag is evicted (bounded state for
+    an always-on ingest) and a later re-delivery is re-admitted — the
+    dedup-within-window contract (VERDICT r2: unbounded state)."""
+    import time as _t
+
+    from zopfli_spark.streaming.stateful import dedup_stream
+
+    src = str(tmp_path_factory.mktemp("ttl_src"))
+    ckpt = str(tmp_path_factory.mktemp("ttl_ckpt"))
+    df = synth_tokens_df(spark, 8, seed=22).cache()
+    doc_a = df.limit(2)
+    doc_b = df.subtract(doc_a).limit(2)
+    schema = "doc_id string, tokens array<int>, n_tok int, source string"
+    out_dir = str(tmp_path_factory.mktemp("ttl_out"))
+    doc_a.coalesce(1).write.mode("overwrite").parquet(src + "/b0")
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src + "/*")
+        )
+        q = (
+            dedup_stream(stream, state_ttl_minutes=0.002)  # 120 ms
+            .writeStream.foreachBatch(
+                lambda b, _: b.write.mode("append").parquet(out_dir)
+            )
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    run_once()
+    assert spark.read.parquet(out_dir).count() == 2  # A emitted
+    _t.sleep(1.0)  # let A's TTL lapse (processing-time)
+    # batch with ONLY B: A's timed-out state fires and is removed
+    doc_b.coalesce(1).write.mode("overwrite").parquet(src + "/b1")
+    run_once()
+    # A re-delivered after expiry: must be re-admitted
+    doc_a.coalesce(1).write.mode("overwrite").parquet(src + "/b2")
+    run_once()
+    ids = [r["doc_id"] for r in spark.read.parquet(out_dir).collect()]
+    a_ids = [r["doc_id"] for r in doc_a.collect()]
+    for i in a_ids:
+        assert ids.count(i) == 2, f"{i}: expired key must re-admit"
+    assert len(ids) == 6

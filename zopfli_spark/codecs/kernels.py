@@ -269,6 +269,11 @@ def _dict_shift_best_s(uniq: np.ndarray, n: int) -> tuple[int | None, float]:
     best_s, best_est = None, np.inf
     vmin, vmax = int(uniq[0]), int(uniq[-1])
     for s in range(1, 25):
+        # the n·s/8 raw-residual term alone lower-bounds every larger s:
+        # once it exceeds the best estimate, no deeper shift can win — skips
+        # most of the 24-step sweep (each step pays an O(card) diff)
+        if 14.0 + n * s / 8.0 >= best_est:
+            break
         q = uniq >> s
         cardq = 1 + int(np.count_nonzero(np.diff(q)))
         entry_w = bit_width(max((vmax >> s) - (vmin >> s), 1))
