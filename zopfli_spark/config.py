@@ -53,8 +53,15 @@ class EngineConfig:
     #: analog, squeeze.c:255-412) — ~+1.9% ratio at ~2.4x encode CPU
     split_mode: str = "cost"
     #: max pages per group for the cost-based splitter (blocksplittingmax
-    #: analog, reference src/zopfli/zopfli.h:55-60, default 15)
-    max_pages_per_group: int = 64
+    #: analog, reference src/zopfli/zopfli.h:55-60, default 15 per ~MB
+    #: master block). Page granularity is a first-order ratio/CPU dial:
+    #: finer pages fit codecs to the content mixture (measured on the synth
+    #: mixture at 2M-value groups: 64 → 3.91x @ 3.9 Mtok/cpu_s, 256 → 3.97x
+    #: @ 2.0, 512 → 4.08x @ 1.1, 1024 → 4.10x @ 1.0); per-page fixed costs
+    #: set the slope. The default sits at the ratio knee — slow-but-smaller
+    #: is the product (the reference ships numiterations=15 for the same
+    #: reason); throughput() pins 64 for the speed end
+    max_pages_per_group: int = 512
     #: squeeze-loop iterations: perturb-and-keep-best rounds per group
     #: (reference src/zopfli/squeeze.c:511-655, numiterations default 15)
     iterations: int = 5
@@ -120,7 +127,10 @@ class EngineConfig:
         """Throughput-first profile: skip the Huffman search entirely and
         keep the fast Z_RLE plane strategy — the encode-speed end of the
         reference's speed/size dial (plain gzip end)."""
-        kw = dict(try_huffman=False, plane_strategy="rle", iterations=3)
+        kw = dict(
+            try_huffman=False, plane_strategy="rle", iterations=3,
+            max_pages_per_group=64,
+        )
         kw.update(overrides)
         return cls(**kw)
 
@@ -135,6 +145,7 @@ class EngineConfig:
             huffman_headroom=1.0,
             iterations=15,
             recompress_passes=2,
+            max_pages_per_group=1024,
         )
         kw.update(overrides)
         return cls(**kw)

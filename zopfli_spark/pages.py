@@ -220,27 +220,33 @@ def split_by_cost(
             return dp_bounds
     total_values = int(rc.cum_n[-1])
     min_pages = max(1, -(-total_values // max(page_budget, 1)))
-    bounds: list[int] = [0, n_rows]
-    done: set[tuple[int, int]] = set()
-    while len(bounds) - 1 < max(max_pages, min_pages):
-        # largest splittable block by value count
-        spans = [
-            (int(rc.cum_n[bounds[k + 1]] - rc.cum_n[bounds[k]]), k)
-            for k in range(len(bounds) - 1)
-            if bounds[k + 1] - bounds[k] > 1 and (bounds[k], bounds[k + 1]) not in done
-        ]
-        if not spans:
-            break
-        _, k = max(spans)
-        start, end = bounds[k], bounds[k + 1]
+    # FindLargestSplittableBlock via a max-heap keyed by value mass: blocks
+    # are only ever SPLIT during this loop (never merged), so a popped span
+    # is always current and each span is examined exactly once — the r2
+    # list-rebuild scan was O(pages²) and dominated fine-grained splitting
+    # (max_pages in the hundreds). Tie-break on start for determinism.
+    import heapq
+
+    def mass(s: int, e: int) -> int:
+        return int(rc.cum_n[e] - rc.cum_n[s])
+
+    heap: list[tuple[int, int, int]] = [(-mass(0, n_rows), 0, n_rows)]
+    n_pages = 1
+    bounds_set: list[int] = []
+    limit = max(max_pages, min_pages)
+    while heap and n_pages < limit:
+        neg_m, start, end = heapq.heappop(heap)
+        if end - start <= 1:
+            continue
         mid, split_c = _find_minimum(rc, start, end)
         orig_c = rc.cost_bits(start, end)
-        block_values = int(rc.cum_n[end] - rc.cum_n[start])
-        if split_c < orig_c or block_values > page_budget:
-            bounds.insert(k + 1, mid)
-        else:
-            done.add((start, end))
-    inner = np.array(sorted(bounds[1:-1]), dtype=np.int64)
+        if split_c < orig_c or -neg_m > page_budget:
+            bounds_set.append(mid)
+            n_pages += 1
+            heapq.heappush(heap, (-mass(start, mid), start, mid))
+            heapq.heappush(heap, (-mass(mid, end), mid, end))
+        # else: splitting this block doesn't pay — it stays whole
+    inner = np.array(sorted(bounds_set), dtype=np.int64)
     # memory bound: no page may exceed 2× budget (chunk leftovers greedily)
     out: list[int] = []
     prev = 0
