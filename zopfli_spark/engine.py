@@ -434,6 +434,30 @@ def _encode_group(
                 )
                 if alt_total < total_now:
                     row_bounds, pages, total_now = alt_bounds, alt_pages, alt_total
+            # search-depth grid axis (the reference's --all varies the
+            # SEARCH knobs per block, not just the split: deflate.c:
+            # 1326-1342): one deeper squeeze round over the winning
+            # geometry — doubled iterations, shifted seed stream, so the
+            # proposal walk explores differently. Keep-if-smaller; the span
+            # memo makes revisited spans free, so the marginal cost is only
+            # genuinely new proposals.
+            if len(pages) >= 3:
+                # refine mutates its pages list keep-if-smaller per step, so
+                # run it on a copy and adopt the result only if it improved
+                deep_bounds, deep_pages, n_improved = refine_boundaries(
+                    row_bounds.copy(),
+                    list(pages),
+                    val_offsets,
+                    encode_rows,
+                    iterations=2 * config.iterations,
+                    max_unsuccessful=config.max_unsuccessful + 1,
+                    seed_key=(config.seed ^ 0xA11, content_hash & 0x7FFFFFFFFFFFFFFF),
+                )
+                if n_improved:
+                    row_bounds, pages = deep_bounds, deep_pages
+                    total_now = float(
+                        sum(len(h) + len(p) for h, p, _, _ in pages)
+                    )
         # recompression passes (--pass analog, reference src/zopfli/deflate.c:
         # 1728-1836): on the worst-compressing pages, (a) RE-SPLIT on the
         # realized byte costs — the reference re-splits the encoded stream,
