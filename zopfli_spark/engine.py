@@ -127,6 +127,13 @@ def _encode_group(
     """Encode one group → page rows. Pure function of group content (sorted
     by doc_id), so output is identical at any parallelism — the seeded
     determinism discipline of reference src/zopfli/squeeze.c:79-146."""
+    # timers start HERE: enc_us/enc_cpu_us cover the whole per-group job —
+    # sort, content hash, SPLIT SEARCH, codec search, emission — so the
+    # bench's tokens_per_cpu_sec is the true per-worker rate (r3: the
+    # splitter was outside the timer, understating kernel share by ~25%
+    # at fine page granularity and muddying the cpu_efficiency control)
+    t_enc0 = time.perf_counter()
+    t_cpu0 = time.process_time()
     order = pc.sort_indices(tbl, sort_keys=[("doc_id", "ascending")])
     tbl = tbl.take(order)
     part_id = int(tbl.column(GROUP_COL)[0].as_py())
@@ -223,8 +230,6 @@ def _encode_group(
         else:
             bounds = split_simple(lens, config.page_budget_values)
         row_bounds = np.unique(np.concatenate(([0], bounds, [len(lens)]))).astype(np.int64)
-    t_enc0 = time.perf_counter()
-    t_cpu0 = time.process_time()
 
     allowed_tags = _allowlist_tags(config.codec_allowlist)
 
