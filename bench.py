@@ -404,7 +404,10 @@ def main() -> None:
             visits=2, runs_per_visit=1, adaptive_extra=2,
         )
         # second sub-capacity pair, sampled IDENTICALLY (supporting evidence)
-        scaling_mid = _run_scaling(scale_path, scale_tokens, scale_docs, 4, 16, visits=2, runs_per_visit=1)
+        scaling_mid = _run_scaling(
+            scale_path, scale_tokens, scale_docs, 4, 16,
+            visits=2, runs_per_visit=1, adaptive_extra=2,
+        )
         # above-capacity pair: reported for completeness; its hi side exceeds
         # physical capacity on this sandbox (see BENCH.md burn-test control)
         scaling_hi = _run_scaling(scale_path, scale_tokens, scale_docs, 8, min(cpus, 32), visits=1, runs_per_visit=2)
