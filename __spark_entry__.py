@@ -328,6 +328,24 @@ def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (brief: dedup family): LSH-bucketed
+    candidates + integer-exact cosine threshold over quantized vectors —
+    portable planes, so the oracle replays buckets AND threshold exactly."""
+    from zopfli_spark.functions.similarity import lsh_near_dup
+
+    emb = _read(spark, sf_dir, "embeddings")
+    return (
+        lsh_near_dup(emb, threshold_pct=40, dim=64, plane_mode="portable")
+        .select(
+            F.col("id_a").cast("bigint").alias("id_a"),
+            F.col("id_b").cast("bigint").alias("id_b"),
+            F.col("qdot").cast("bigint").alias("qdot"),
+        )
+        .orderBy("id_a", "id_b")
+    )
+
+
 def q_setops_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set-op verification surface: exceptAll between input and decoded rows
     must be empty in BOTH directions (SURVEY §2.7) — pushed through the full
@@ -453,6 +471,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash": q_simhash,
         "lsh_ann_topk": q_lsh_ann_topk,
+        "embed_near_dup": q_embed_near_dup,
         "setops_verify": q_setops_verify,
         "metrics_topk": q_metrics_topk,
         "distinct_prescreen": q_distinct_prescreen,
@@ -535,6 +554,44 @@ def _sql_minhash_lsh(n_hashes: int = 32, bands: int = 8, k: int = 8) -> str:
         FROM pairs p
         JOIN sig sa ON sa.doc_id = p.id_a
         JOIN sig sb ON sb.doc_id = p.id_b
+        ORDER BY id_a, id_b
+    """
+
+
+def _sql_embed_near_dup(n_planes: int = 6, n_tables: int = 8, num: int = 4, den: int = 25) -> str:
+    """Mirror of lsh_near_dup(threshold_pct=40) — (40/100)² = 4/25."""
+    return f"""
+        WITH v AS (
+          SELECT vec_id, list_transform(embedding, x -> CAST(round(x * 1000) AS BIGINT)) AS qv
+          FROM embeddings),
+        n AS (
+          SELECT vec_id, qv,
+                 CAST(list_sum(list_transform(range(len(qv)), d -> qv[d + 1] * qv[d + 1])) AS BIGINT) AS n2
+          FROM v),
+        bk AS (
+          SELECT vec_id, ts.t AS tbl,
+                 list_sum(list_transform(range({n_planes}), i ->
+                   CASE WHEN list_sum(list_transform(range(len(qv)), d ->
+                          qv[d + 1] * (((1315423911 * ts.t + 2654435761 * i + 97 * d) % 7) - 3))) > 0
+                        THEN (CAST(1 AS BIGINT) << i) ELSE CAST(0 AS BIGINT) END)) AS bucket
+          FROM v, (SELECT unnest(generate_series(0, {n_tables - 1})) AS t) ts),
+        cands AS (
+          SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+          FROM bk a JOIN bk b ON a.tbl = b.tbl AND a.bucket = b.bucket
+          WHERE a.vec_id < b.vec_id)
+        SELECT c.id_a, c.id_b,
+               CAST(list_sum(list_transform(range(len(na.qv)), d ->
+                    na.qv[d + 1] * nb.qv[d + 1])) AS BIGINT) AS qdot
+        FROM cands c
+        JOIN n na ON na.vec_id = c.id_a
+        JOIN n nb ON nb.vec_id = c.id_b
+        WHERE CAST(list_sum(list_transform(range(len(na.qv)), d ->
+                   na.qv[d + 1] * nb.qv[d + 1])) AS BIGINT) > 0
+          AND CAST(list_sum(list_transform(range(len(na.qv)), d ->
+                   na.qv[d + 1] * nb.qv[d + 1])) AS BIGINT)
+              * CAST(list_sum(list_transform(range(len(na.qv)), d ->
+                   na.qv[d + 1] * nb.qv[d + 1])) AS BIGINT) * {den}
+              >= {num} * na.n2 * nb.n2
         ORDER BY id_a, id_b
     """
 
@@ -766,6 +823,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash": _sql_simhash(),
         "minhash_lsh_pairs": _sql_minhash_lsh(),
         "lsh_ann_topk": _sql_lsh_ann_topk(),
+        "embed_near_dup": _sql_embed_near_dup(),
         "ann_topk": """
             WITH q AS (
               SELECT vec_id AS query_id,

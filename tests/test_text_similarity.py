@@ -152,3 +152,23 @@ def test_lsh_topk_portable_planes_recall(spark, embeddings):
     truth = set(zip(exact.query_id, exact.neighbor_id))
     got = set(zip(approx.query_id, approx.neighbor_id))
     assert len(got & truth) / len(truth) >= 0.5
+
+
+def test_lsh_near_dup_threshold_and_symmetry(spark):
+    """Near-dup pairs: planted near-duplicates pass the integer-exact
+    cosine threshold; orthogonal vectors never appear; ids are ordered."""
+    import math
+
+    from zopfli_spark.functions.similarity import lsh_near_dup
+
+    dim = 16
+    base = [1.0 if d < 8 else 0.0 for d in range(dim)]
+    near = [1.0 if d < 7 else (0.3 if d == 7 else 0.0) for d in range(dim)]
+    orth = [0.0 if d < 8 else 1.0 for d in range(dim)]
+    rows = [(0, base), (1, near), (2, orth)]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+    out = lsh_near_dup(df, threshold_pct=90, dim=dim, plane_mode="portable").collect()
+    pairs = {(r["id_a"], r["id_b"]) for r in out}
+    assert (0, 1) in pairs  # cosine(base, near) ≈ 0.97
+    assert all(2 not in p for p in pairs)  # orthogonal never passes
+    assert all(a < b for a, b in pairs)

@@ -211,3 +211,80 @@ def lsh_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "qdot")
     )
+
+
+def lsh_near_dup(
+    df: DataFrame,
+    threshold_pct: int = 90,
+    n_planes: int = 6,
+    n_tables: int = 8,
+    dim: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    plane_mode: str = "normal",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate PAIRS — the dedup-by-similarity
+    operator (brief: "embedding-cosine near-dup"): candidates from LSH
+    bucket collisions (equi-join on (table, bucket) — the 100 TB shape; a
+    cross product is never formed), then an integer-exact cosine threshold
+    over the quantized vectors:
+
+        cos(a, b) ≥ p/100  ⟺  qdot > 0  ∧  qdot² · den ≥ num · |a|²·|b|²
+
+    with num/den = (p/100)² in lowest terms — pure bigint arithmetic (no
+    float order-of-operations, no sqrt), so with ``plane_mode='portable'``
+    the DuckDB oracle replays the ENTIRE query — buckets and threshold —
+    bit-identically. Semantics are "near-dup within LSH recall", exactly
+    like production LSH dedup pipelines (recall grows with n_tables).
+    Overflow-safe for unit-norm embeddings quantized at 1000 (|q|² ≈ 1e6:
+    both sides stay ≤ ~1e16 ≪ int64).
+    """
+    from math import gcd
+    if dim is None:
+        raise ValueError("lsh_near_dup requires dim (no driver-side probe)")
+
+    parts = []
+    for t in range(n_tables):
+        if plane_mode == "portable":
+            b = lsh_buckets_q(df, portable_planes(dim, n_planes, t), id_col, vec_col)
+        else:
+            b = lsh_buckets(df, hyperplanes(dim, n_planes, seed + 1000 * t), id_col, vec_col)
+        parts.append(
+            b.select(F.col(id_col).alias("vid"), F.lit(t).alias("tbl"), "bucket")
+        )
+    bk = parts[0]
+    for p in parts[1:]:
+        bk = bk.unionByName(p)
+    a = bk.select(F.col("vid").alias("id_a"), "tbl", "bucket")
+    b = bk.select(F.col("vid").alias("id_b"), "tbl", "bucket")
+    cands = (
+        a.join(b, ["tbl", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    qv = quantize(df, vec_col).select(F.col(id_col).alias("vid"), F.col("qvec"))
+    norms = qv.withColumn("n2", _qdot(F.col("qvec"), F.col("qvec")))
+    va = norms.select(
+        F.col("vid").alias("id_a"), F.col("qvec").alias("qa"), F.col("n2").alias("na")
+    )
+    vb = norms.select(
+        F.col("vid").alias("id_b"), F.col("qvec").alias("qb"), F.col("n2").alias("nb")
+    )
+    num, den = int(threshold_pct) ** 2, 10_000
+    g = gcd(num, den)
+    num, den = num // g, den // g
+    return (
+        cands.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("qdot", _qdot(F.col("qa"), F.col("qb")))
+        .filter(
+            (F.col("qdot") > 0)
+            & (
+                F.col("qdot") * F.col("qdot") * F.lit(den).cast("bigint")
+                >= F.lit(num).cast("bigint") * F.col("na") * F.col("nb")
+            )
+        )
+        .select("id_a", "id_b", "qdot")
+    )
