@@ -79,10 +79,21 @@ def _utf8_buffers(arr: pa.Array) -> tuple[bytes, np.ndarray]:
 
 
 def strings_from_utf8(data: bytes, lengths: np.ndarray) -> pa.Array:
-    """Build a StringArray directly from (data, lengths) buffers."""
+    """Build a StringArray directly from (data, lengths) buffers. Pages whose
+    string payload exceeds the 2 GiB int32-offset limit come back as
+    large_utf8 (int64 offsets) — the silent-wrap alternative (cumsum int64 →
+    out=int32) corrupted the array instead of erroring (ADVICE r3 low)."""
     n = len(lengths)
+    total = int(lengths.sum()) if n else 0
+    if total >= 2**31:
+        offsets = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(lengths, out=offsets[1:])
+        return pa.Array.from_buffers(
+            pa.large_utf8(), n,
+            [None, pa.py_buffer(offsets.tobytes()), pa.py_buffer(data)],
+        )
     offsets = np.zeros(n + 1, dtype=np.int32)
-    np.cumsum(lengths, out=offsets[1:])
+    np.cumsum(lengths.astype(np.int32, copy=False), out=offsets[1:])
     return pa.Array.from_buffers(
         pa.utf8(), n, [None, pa.py_buffer(offsets.tobytes()), pa.py_buffer(data)]
     )

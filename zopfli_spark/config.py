@@ -44,7 +44,8 @@ class EngineConfig:
     plane_strategy: str = "rle"
     #: explicit codec allow-list (names from kernels.CODEC_NAMES); None =
     #: all codecs. PLAIN always stays in (the stored-block guarantee,
-    #: reference src/zopfli/deflate.c:951-989)
+    #: reference src/zopfli/deflate.c:951-989) and CONSTANT always stays in
+    #: for single-valued pages (same degenerate-page guarantee)
     codec_allowlist: tuple[str, ...] | None = None
     #: 'simple' = fixed-budget page boundaries; 'cost' = entropy-cost-driven
     #: greedy split search (FindMinimum analog, reference
@@ -112,12 +113,20 @@ class EngineConfig:
         if self.codec_allowlist is not None:
             # order-insensitive, process-stable fingerprint of the allow-list
             # (NOT builtins.hash — string hashing is randomized per process,
-            # which would break cross-process lineage keys)
+            # which would break cross-process lineage keys). CRC32 over the
+            # SORTED, LENGTH-PREFIXED concatenation: sorting gives order
+            # insensitivity without XOR (whose cancellation let {a,b} collide
+            # with {c} and duplicates cancel to 0 — ADVICE r3), and the
+            # length prefix disambiguates concatenation boundaries. Masked to
+            # 31 bits so the packed fingerprint tops out at bit 62 — inside
+            # int64, so lineage's `mode long` column holds it exactly.
             import zlib as _zlib
 
-            h = 0
-            for name in self.codec_allowlist:
-                h ^= _zlib.crc32(name.encode()) & 0xFFFF
+            payload = b"".join(
+                len(n := name.encode()).to_bytes(2, "little") + n
+                for name in sorted(self.codec_allowlist)
+            )
+            h = _zlib.crc32(payload) & 0x7FFFFFFF
             bits |= (h | 1) << 31
         return bits
 

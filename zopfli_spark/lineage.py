@@ -27,7 +27,7 @@ import numpy as np
 from pyspark.sql import DataFrame, functions as F
 
 LINEAGE_SCHEMA = (
-    "content_key long, content_hash long, mode int, n_values long, "
+    "content_key long, content_hash long, mode long, n_values long, "
     "n_rows int, plan string"
 )
 
@@ -81,7 +81,11 @@ def lineage_from_pages(pages: DataFrame, mode: int) -> DataFrame:
         .select(
             "content_key",
             F.col("content_hash_group").alias("content_hash"),
-            F.lit(mode).alias("mode").cast("int"),
+            # LONG, never int: config.mode packs the codec_allowlist
+            # fingerprint at bits 31-62 (config.py), so an int32 column
+            # silently truncated it and resume never hit for allow-listed
+            # configs (VERDICT r3 wrong #1)
+            F.lit(mode).cast("long").alias("mode"),
             "n_values",
             F.col("n_rows").cast("int"),
             F.col("plan_struct").alias("plan"),
