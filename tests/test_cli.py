@@ -61,3 +61,25 @@ def test_cli_verify_fails_on_wrong_input(spark, tmp_path, capsys):
     _run(capsys, COMMON + ["encode", "--input", tok, "--output", store])
     rc, r = _run(capsys, COMMON + ["verify", "--input", other, "--store", store])
     assert rc == 1 and r["ok"] is False and r["mismatches"] > 0
+
+
+def test_cli_gc(spark, tmp_path, capsys):
+    """gc subcommand: lineage compaction keeps resume rows flat; snapshot
+    expiry and age-gated orphan removal run through the CLI surface."""
+    tok = str(tmp_path / "tok")
+    store = str(tmp_path / "store")
+    _run(capsys, COMMON + ["datagen", "--n-docs", "100", "--output", tok])
+    for i in range(3):
+        _run(capsys, COMMON + ["--run-id", f"r{i}",
+                               "encode", "--input", tok, "--output", store])
+    rc, r = _run(capsys, COMMON + ["gc", "--store", store, "--compact-lineage",
+                                   "--remove-orphans"])
+    assert rc == 0
+    assert r["lineage_rows"] > 0
+    assert r["orphans_removed"] == []  # no snapshot layer -> nothing to sweep
+    from zopfli_spark.sources.store import read_lineage
+
+    assert read_lineage(spark, store).count() == r["lineage_rows"]
+    # re-encode after compaction still resumes (ratio unchanged, fast path)
+    rc, enc = _run(capsys, COMMON + ["encode", "--input", tok, "--output", store])
+    assert rc == 0 and enc["ratio"] > 1.0

@@ -140,6 +140,27 @@ def cmd_datagen(args) -> int:
     return 0
 
 
+def cmd_gc(args) -> int:
+    """Table maintenance: snapshot expiry, age-gated orphan removal, lineage
+    compaction — the lifecycle surface an always-on deployment schedules
+    (Iceberg expire_snapshots / remove_orphan_files + the StatsDB's
+    one-record-per-key bound, reference src/zopfli/deflate.c:1164-1272)."""
+    from .sources.store import compact_lineage, expire_snapshots, remove_orphan_files
+
+    spark = _spark(args)
+    out: dict = {"root": args.store}
+    if args.keep_snapshots is not None:
+        out["expire"] = expire_snapshots(args.store, keep_last=args.keep_snapshots)
+    if args.remove_orphans:
+        out["orphans_removed"] = remove_orphan_files(
+            args.store, older_than_s=args.orphan_age_hours * 3600.0
+        )
+    if args.compact_lineage:
+        out["lineage_rows"] = compact_lineage(args.store, spark)
+    print(json.dumps(out))
+    return 0
+
+
 def cmd_package_zip(args) -> int:
     from .deploy import package_zip_path
 
@@ -197,6 +218,18 @@ def main(argv: list[str] | None = None) -> int:
     gen.add_argument("--n-docs", type=int, required=True)
     gen.add_argument("--output", required=True)
 
+    gc = sub.add_parser("gc", help="store maintenance: expire snapshots, "
+                                   "remove aged orphan dirs, compact lineage")
+    gc.add_argument("--store", required=True, help="store root")
+    gc.add_argument("--keep-snapshots", type=int, default=None,
+                    help="expire all but the newest N snapshots")
+    gc.add_argument("--remove-orphans", action="store_true",
+                    help="delete data dirs no manifest references (age-gated)")
+    gc.add_argument("--orphan-age-hours", type=float, default=24.0,
+                    help="only remove orphan dirs untouched this long")
+    gc.add_argument("--compact-lineage", action="store_true",
+                    help="rewrite lineage to one row per live (key, mode)")
+
     sub.add_parser("package-zip", help="print path of a --py-files zip")
 
     args = p.parse_args(argv)
@@ -205,6 +238,7 @@ def main(argv: list[str] | None = None) -> int:
         "decode": cmd_decode,
         "verify": cmd_verify,
         "datagen": cmd_datagen,
+        "gc": cmd_gc,
         "package-zip": cmd_package_zip,
     }[args.cmd](args)
 
