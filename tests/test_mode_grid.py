@@ -140,3 +140,127 @@ def test_split_mode_dp_roundtrips_and_dominates_estimate():
         decoded.append(vv)
     flat = np.concatenate(decoded)
     assert np.array_equal(flat, values.astype(flat.dtype))
+
+
+def test_achievable_bpv_matches_loop_reference():
+    """The vectorized ambiguity estimator (VERDICT r3 next #6) must produce
+    the same estimate as the r3 per-doc loop (entropy via log2(m) − Σc·log2c/m
+    is algebraically identical; this pins the gate decisions)."""
+    import numpy as np
+    from zopfli_spark.engine import _achievable_bpv
+
+    def loop_reference(values, val_offsets, n_docs_g):
+        step = max(1, n_docs_g // 64)
+        est_bits = est_vals = 0.0
+        for d in range(0, n_docs_g, step):
+            v0d, v1d = int(val_offsets[d]), int(val_offsets[d + 1])
+            v = values[v0d : min(v0d + 4096, v1d)].astype(np.int64)
+            if len(v) < 16:
+                continue
+
+            def _ent(a):
+                _, cnt = np.unique(a, return_counts=True)
+                p = cnt / len(a)
+                e = float(-(p * np.log2(p)).sum())
+                if len(cnt) > 0.9 * len(a):
+                    e = max(e, float(np.log2(float(a.max() - a.min()) + 1.0)))
+                return e
+
+            dv = np.diff(v)
+            runs = float(np.count_nonzero(dv) + 1)
+            rle_bits = 64.0 * runs / len(v)
+            best = min(_ent(v), _ent(dv) if len(dv) else 64.0, rle_bits)
+            est_bits += best * len(v)
+            est_vals += len(v)
+        return (est_bits / est_vals / 8.0) if est_vals else None
+
+    rng = np.random.default_rng(17)
+    for trial in range(6):
+        n_docs = int(rng.integers(3, 200))
+        lens, chunks = [], []
+        for i in range(n_docs):
+            n = int(rng.integers(4, 6000))
+            kind = i % 4
+            if kind == 0:
+                v = rng.integers(0, 1 << 24, n)
+            elif kind == 1:
+                v = np.cumsum(rng.integers(1, 64, n))
+            elif kind == 2:
+                v = np.repeat(rng.integers(0, 50, max(1, n // 8)), 8)[:n]
+            else:
+                v = rng.zipf(1.4, n) % 30000
+            chunks.append(v.astype(np.int32))
+            lens.append(len(v))
+        values = np.concatenate(chunks)
+        val_offsets = np.concatenate(([0], np.cumsum(lens))).astype(np.int64)
+        got = _achievable_bpv(values, val_offsets, n_docs)
+        want = loop_reference(values, val_offsets, n_docs)
+        if want is None:
+            assert got is None
+        else:
+            assert got == pytest.approx(want, rel=1e-9), f"trial {trial}"
+
+
+def test_grid_codec_dial_axis_wins_in_headroom_window(order_blind_group):
+    """Codec-dial grid axes (VERDICT r3 next #7): a distribution whose
+    entropy sits INSIDE the (huffman_headroom, 1.0) admission window — the
+    0.8 gate blocks Huffman, dict wins the base argmin at ~6 bits/val, but
+    true entropy is ~5 bits. The ambiguity gate fires (realized >> per-doc
+    achievable) and the dial retry (headroom=1.0, plane='both') must
+    capture the win, keep-if-smaller."""
+    rng = np.random.default_rng(3)
+    vals = rng.integers(0, 1 << 30, 64)
+    p = np.exp(-0.08 * np.arange(64))
+    p /= p.sum()
+    docs = [
+        vals[rng.choice(64, BUDGET // 2, p=p)].astype(np.int32) for _ in range(8)
+    ]
+    on = _encode_group(_tbl(docs), CFG)
+    off = _encode_group(_tbl(docs), dataclasses.replace(CFG, mode_grid=False))
+    assert _total(on) < _total(off), "dial axis must capture the entropy gap"
+    assert "huffman" in set(on.column("codec").to_pylist())
+    assert "huffman" not in set(off.column("codec").to_pylist())
+
+
+def test_grid_dial_winner_resumes_byte_identical(order_blind_group):
+    """A dial-axis winner must replay byte-identically through the lineage
+    forced-codec path (level-pinned names -> encode_forced)."""
+    import pyarrow as _pa
+
+    rng = np.random.default_rng(3)
+    vals = rng.integers(0, 1 << 30, 64)
+    p = np.exp(-0.08 * np.arange(64))
+    p /= p.sum()
+    docs = [
+        vals[rng.choice(64, BUDGET // 2, p=p)].astype(np.int32) for _ in range(8)
+    ]
+    first = _encode_group(_tbl(docs), CFG)
+    # build the driver-dict lineage in the struct form the engine parses
+    import json as _json
+
+    plan = _json.dumps(
+        [
+            {"page_id": i, "n_rows": int(r), "codec": str(c)}
+            for i, (r, c) in enumerate(
+                zip(
+                    first.column("n_rows").to_pylist(),
+                    first.column("codec").to_pylist(),
+                )
+            )
+        ]
+    )
+    key = (
+        int(first.column("content_key")[0].as_py()),
+        CFG.mode,
+    )
+    lineage = {key: (int(first.column("content_hash_group")[0].as_py()), plan)}
+    second = _encode_group(_tbl(docs), CFG, lin=lineage)
+    assert set(second.column("resumed").to_pylist()) == {1}
+    assert first.column("checksum").to_pylist() == second.column("checksum").to_pylist()
+    assert first.column("enc_bytes").to_pylist() == second.column("enc_bytes").to_pylist()
+    assert (
+        _pa.compute.equal(first.column("payload"), second.column("payload"))
+        .to_pylist()
+        .count(False)
+        == 0
+    )
