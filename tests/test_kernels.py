@@ -243,3 +243,45 @@ def test_huffman_rle_smoothing_never_worse():
     assert np.array_equal(out, v.astype(np.int64))
     if kernels.blob_codec_name(blob) == "huffman":
         assert kernels.encode_forced(v, "huffman") == blob
+
+
+def test_decode_blob_bounded_on_corrupt_input():
+    """Decode-path robustness contract: for any truncation, single-byte
+    flip, or wrong-n over a valid blob, decode_blob either raises a normal
+    Python exception or returns an array of the requested length — never a
+    giant allocation (MemoryError alloc bomb via corrupt RLE run lengths /
+    dict cardinalities; page CRCs only run AFTER decode) and never a crash."""
+    import struct
+    import zlib as _zlib
+
+    import numpy as np
+
+    from zopfli_spark.codecs.kernels import decode_blob, encode_best
+
+    rng = np.random.default_rng(0)
+    arrays = [
+        np.repeat(rng.integers(0, 9, 50), 37).astype(np.int64),
+        np.cumsum(rng.integers(1, 9, 1850)).astype(np.int64),
+        rng.integers(0, 17, 1850).astype(np.int64) * 12345,
+        rng.integers(0, 1 << 30, 1850).astype(np.int64),
+        (rng.zipf(1.3, 1850) % 30000).astype(np.int64),
+    ]
+    ok_exceptions = (ValueError, IndexError, KeyError, struct.error, _zlib.error, OverflowError)
+    for v in arrays:
+        blob = encode_best(v)
+        n = len(v)
+        for trial in range(240):
+            mode = trial % 3
+            b = bytearray(blob)
+            nn = n
+            if mode == 0 and len(b) > 2:
+                b = b[: int(rng.integers(1, len(b)))]
+            elif mode == 1:
+                b[int(rng.integers(0, len(b)))] ^= int(rng.integers(1, 256))
+            else:
+                nn = int(rng.integers(1, 2 * n))
+            try:
+                out = decode_blob(bytes(b), nn)
+            except ok_exceptions:
+                continue
+            assert isinstance(out, np.ndarray) and len(out) == nn

@@ -193,3 +193,29 @@ def test_strings_from_utf8_over_2gib_uses_large_utf8():
     # under the limit stays utf8 (int32 offsets)
     small = strings_from_utf8(b"abcdef", np.array([3, 3], dtype=np.int64))
     assert pa.types.is_string(small.type) and small.to_pylist() == ["abc", "def"]
+
+
+def test_read_lineage_handles_pre_fix_int32_mode_files(spark, tmp_path):
+    """Upgrade path: a store whose early runs wrote `mode int` (pre-r4)
+    must read cleanly alongside new int64 appends — the explicit-schema
+    read widens the old files; compaction normalizes them on disk."""
+    root = str(tmp_path / "store")
+    lin = root + "/lineage"
+    spark.createDataFrame(
+        [(1, 2, 3, 4, 5, "[]")],
+        "content_key long, content_hash long, mode int, n_values long, "
+        "n_rows int, plan string",
+    ).write.mode("append").parquet(lin)
+    spark.createDataFrame(
+        [(10, 20, 2**40, 40, 50, "[]")],
+        "content_key long, content_hash long, mode long, n_values long, "
+        "n_rows int, plan string",
+    ).write.mode("append").parquet(lin)
+    df = read_lineage(spark, root)
+    assert dict(df.dtypes)["mode"] == "bigint"
+    assert sorted(r["mode"] for r in df.collect()) == [3, 2**40]
+    assert compact_lineage(root, spark) == 2
+    # post-compaction the store is pure int64 and still reads
+    assert sorted(r["mode"] for r in read_lineage(spark, root).collect()) == [3, 2**40]
+    # missing-lineage path still returns None
+    assert read_lineage(spark, str(tmp_path / "nope")) is None

@@ -107,6 +107,14 @@ def unpack_bits(buf: bytes, n: int, width: int) -> np.ndarray:
     """Inverse of :func:`pack_bits` → uint64 array of length ``n``."""
     if width == 0 or n == 0:
         return np.zeros(n, dtype=np.uint64)
+    if len(buf) < (n * width + 7) // 8:
+        # corrupt/truncated input must raise, never silently decode short
+        # (page CRCs catch corruption later, but a blob-level decode should
+        # be bounded and loud on malformed bytes)
+        raise ValueError(
+            f"packed buffer too short: {len(buf)} bytes < {(n * width + 7) // 8} "
+            f"needed for n={n} width={width}"
+        )
     lane = _lane(width)
     src = np.frombuffer(buf, dtype=np.uint8)
     out = np.empty(n, dtype=np.uint64)

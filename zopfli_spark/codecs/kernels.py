@@ -747,15 +747,23 @@ def decode_blob(buf: bytes, n: int) -> np.ndarray:
         return out
     if tag == RLE:
         (n_runs,) = _U32.unpack(body[:4])
+        if n_runs > n:
+            raise ValueError(f"RLE n_runs {n_runs} > n {n}")  # alloc bound
         (vb_len,) = _U32.unpack(body[4:8])
         run_vals = decode_blob(bytes(body[8 : 8 + vb_len]), n_runs)
         run_lens = decode_blob(bytes(body[8 + vb_len :]), n_runs)
-        out = np.repeat(run_vals, run_lens)
-        if len(out) != n:
-            raise ValueError(f"RLE decode length {len(out)} != expected {n}")
-        return out
+        # validate BEFORE np.repeat: a corrupt length field must raise, not
+        # attempt a multi-GB allocation (a flipped byte in a run length is an
+        # allocation bomb otherwise; the page CRC only runs after decode)
+        if n_runs and (int(run_lens.min()) < 0 or int(run_lens.sum()) != n):
+            raise ValueError(
+                f"RLE run lengths corrupt: sum {int(run_lens.sum())} != {n}"
+            )
+        return np.repeat(run_vals, run_lens)
     if tag == DICT:
         (card,) = _U32.unpack(body[:4])
+        if card > n:
+            raise ValueError(f"DICT cardinality {card} > n {n}")  # alloc bound
         (db_len,) = _U32.unpack(body[4:8])
         dict_vals = decode_blob(bytes(body[8 : 8 + db_len]), card)
         indices = decode_blob(bytes(body[8 + db_len :]), n)
@@ -784,6 +792,8 @@ def decode_blob(buf: bytes, n: int) -> np.ndarray:
     if tag == DICT_SHIFT:
         shift = body[0]
         (cardq,) = _U32.unpack(body[1:5])
+        if cardq > n:
+            raise ValueError(f"DICT_SHIFT cardinality {cardq} > n {n}")
         (db_len,) = _U32.unpack(body[5:9])
         qvals = decode_blob(bytes(body[9 : 9 + db_len]), cardq)
         (ib_len,) = _U32.unpack(body[9 + db_len : 13 + db_len])

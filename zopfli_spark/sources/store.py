@@ -61,9 +61,16 @@ def append_lineage(pages: DataFrame, root: str, config: EngineConfig = DEFAULT_C
 
 
 def read_lineage(spark: SparkSession, root: str) -> DataFrame | None:
+    from ..lineage import LINEAGE_SCHEMA
+
     path = os.path.join(root, "lineage")
     try:
-        df = spark.read.parquet(path)
+        # explicit schema: Spark's parquet reader widens int32 files into the
+        # `mode long` column, so a store whose early runs predate the
+        # int64-mode fix (r4) reads cleanly alongside new appends — a plain
+        # schema-inferred read fails with PARQUET_COLUMN_DATA_TYPE_MISMATCH
+        # on such mixed stores (verified empirically on Spark 4.1)
+        df = spark.read.schema(LINEAGE_SCHEMA).parquet(path)
     except Exception:
         return None
     # latest record wins per (content_key, mode) — DB-overwrite semantics of
@@ -81,14 +88,16 @@ def compact_lineage(root: str, spark: SparkSession) -> int:
     Returns the number of live rows kept, or -1 if there was no lineage."""
     import shutil as _shutil
 
+    from ..lineage import LINEAGE_SCHEMA
+
     path = os.path.join(root, "lineage")
     try:
-        df = spark.read.parquet(path)
+        # explicit schema (see read_lineage): widens pre-fix int32 `mode`
+        # files, so compacting is also the upgrade path for an r3-era store
+        df = spark.read.schema(LINEAGE_SCHEMA).parquet(path)
     except Exception:
         return -1
-    live = df.withColumn("mode", F.col("mode").cast("long")).dropDuplicates(
-        ["content_key", "mode"]
-    )
+    live = df.dropDuplicates(["content_key", "mode"])
     tmp = path + ".compact.tmp"
     _shutil.rmtree(tmp, ignore_errors=True)
     live.write.mode("overwrite").parquet(tmp)

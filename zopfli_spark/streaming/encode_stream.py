@@ -34,7 +34,13 @@ def encode_stream(
     content re-appears — checkpoint replay after a crash, or a full
     re-ingest — since content hashes are group-level, not per-doc."""
     from ..engine import encode_table
-    from ..sources.store import append_lineage, read_lineage, write_pages
+    from ..sources.store import (
+        append_lineage,
+        compact_lineage,
+        lineage_file_count,
+        read_lineage,
+        write_pages,
+    )
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -44,6 +50,11 @@ def encode_stream(
         pages = encode_table(batch_df, config, lineage=lineage)
         write_pages(pages, root, mode="append")
         append_lineage(pages, root, config)
+        # an always-on stream appends lineage every micro-batch forever;
+        # keep the resume table content-bounded (one row per live key, the
+        # StatsDB shape) exactly like the batch path does
+        if lineage_file_count(root) > 64:
+            compact_lineage(root, spark)
 
     writer = stream_df.writeStream.foreachBatch(process_batch).outputMode("append")
     if checkpoint:
