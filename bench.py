@@ -195,7 +195,10 @@ def _scaling_visit(cores: int, input_path: str, total_tokens: int, n_docs: int, 
         ],
         capture_output=True,
         text=True,
-        timeout=1200,
+        # generous: a 2-core visit on the 444M-token input runs ~300 s clean,
+        # but this guest has been observed 3.5x slower under neighbor load —
+        # a timeout here would cost the whole scaling artifact
+        timeout=2400,
         cwd=os.path.dirname(os.path.abspath(__file__)),
     )
     line = [l for l in p.stdout.splitlines() if l.startswith("WORKER_JSON:")]
@@ -213,6 +216,7 @@ def _run_scaling(
     visits: int = 2,
     runs_per_visit: int = 1,
     adaptive_extra: int = 0,
+    deadline: float | None = None,
 ) -> dict:
     """Interleaved lo/hi visits (lo, hi, lo, hi, ...): host drift lands on
     both sides; best wall per side across all visits.
@@ -252,6 +256,9 @@ def _run_scaling(
     for v in range(visits):
         one_round(f"visit {v + 1}/{visits}")
     for extra in range(adaptive_extra):
+        if deadline is not None and time.time() > deadline:
+            _log("deadline reached: skipping remaining adaptive visits")
+            break
         best = {c: min(rs, key=lambda r: r["wall"]) for c, rs in res.items()}
         eff = (best[hi]["tokens_per_sec"] / best[lo]["tokens_per_sec"]) / (hi / lo)
         steal_dirty = (
@@ -305,6 +312,7 @@ def main() -> None:
 
     queries: dict[str, float] = {}
     t_all = time.perf_counter()
+    t_wall0 = time.time()  # epoch clock for the budget deadline
 
     from pyspark.sql import functions as F
 
@@ -442,22 +450,47 @@ def main() -> None:
     _log(f"scaling input {scale_tokens} tokens")
     spark.stop()
 
+    def _pair_or_error(*args, **kw) -> dict:
+        # a failed pair (worker timeout under extreme neighbor load, OOM)
+        # must not cost the whole artifact — record the failure and move on
+        try:
+            return _run_scaling(*args, **kw)
+        except Exception as e:  # noqa: BLE001 — artifact robustness
+            _log(f"scaling pair failed: {e}")
+            return {"error": str(e)[:500], "efficiency": 0.0, "cpu_efficiency": 0.0}
+
+    # soft wall-clock budget for the WHOLE bench: under heavy neighbor load
+    # (this guest has measured 3.5x slowdowns) the adaptive retries could
+    # otherwise push the run past any reasonable driver budget and cost the
+    # artifact entirely. Deadline trims extras first, then the supporting
+    # pairs — the pre-declared gate pair always gets its base visits.
+    budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_SEC", "3300"))
+    deadline = t_wall0 + budget_s
     try:
         # canonical north-rule gate pair, pre-declared: 2→8 (hi side well
         # under this guest's ~24 effective cores). Interleaved, best-of,
         # one extra visit: the gate pair gets the most noise immunity.
-        scaling = _run_scaling(
+        scaling = _pair_or_error(
             scale_path, scale_tokens, scale_docs, 2, 8,
-            visits=2, runs_per_visit=1, adaptive_extra=2,
+            visits=2, runs_per_visit=1, adaptive_extra=2, deadline=deadline - 600,
         )
         # second sub-capacity pair, sampled IDENTICALLY (supporting evidence)
-        scaling_mid = _run_scaling(
-            scale_path, scale_tokens, scale_docs, 4, 16,
-            visits=2, runs_per_visit=1, adaptive_extra=2,
-        )
+        if time.time() < deadline - 450:
+            scaling_mid = _pair_or_error(
+                scale_path, scale_tokens, scale_docs, 4, 16,
+                visits=2, runs_per_visit=1, adaptive_extra=2, deadline=deadline - 250,
+            )
+        else:
+            scaling_mid = {"skipped": "bench budget", "efficiency": 0.0, "cpu_efficiency": 0.0}
         # above-capacity pair: reported for completeness; its hi side exceeds
         # physical capacity on this sandbox (see BENCH.md burn-test control)
-        scaling_hi = _run_scaling(scale_path, scale_tokens, scale_docs, 8, min(cpus, 32), visits=1, runs_per_visit=2)
+        if time.time() < deadline - 200:
+            scaling_hi = _pair_or_error(
+                scale_path, scale_tokens, scale_docs, 8, min(cpus, 32),
+                visits=1, runs_per_visit=2,
+            )
+        else:
+            scaling_hi = {"skipped": "bench budget", "efficiency": 0.0, "cpu_efficiency": 0.0}
     finally:
         shutil.rmtree(scale_dir, ignore_errors=True)
 
