@@ -179,18 +179,18 @@ def test_uncommitted_manifest_is_invisible(root):
     assert [m["snapshot_id"] for m in list_snapshots(root)] == ["abc"]  # legacy
 
 
-def test_strings_from_utf8_over_2gib_uses_large_utf8():
-    """ADVICE r3 low: >2 GiB payload silently wrapped int32 offsets."""
-    from zopfli_spark.codecs.strings import _utf8_buffers, strings_from_utf8
-
+def test_strings_from_utf8_over_2gib_raises():
+    """ADVICE r3 low: >2 GiB payload silently wrapped int32 offsets into a
+    corrupt StringArray. The guard raises loudly instead (a large_utf8
+    fallback would fail one step later in the fixed string-typed decode
+    flush — review r4): no giant allocation is needed to hit the check."""
     lengths = np.array([2**30, 2**30], dtype=np.int64)
-    data = bytes(2**31)
-    arr = strings_from_utf8(data, lengths)
-    assert pa.types.is_large_string(arr.type)
-    assert len(arr) == 2
-    _, back = _utf8_buffers(arr)
-    assert back.tolist() == lengths.tolist()
-    # under the limit stays utf8 (int32 offsets)
+    with pytest.raises(ValueError, match="2 GiB"):
+        from zopfli_spark.codecs.strings import strings_from_utf8
+
+        strings_from_utf8(b"", lengths)  # guard fires on lengths alone
+    from zopfli_spark.codecs.strings import strings_from_utf8
+
     small = strings_from_utf8(b"abcdef", np.array([3, 3], dtype=np.int64))
     assert pa.types.is_string(small.type) and small.to_pylist() == ["abc", "def"]
 
@@ -219,3 +219,60 @@ def test_read_lineage_handles_pre_fix_int32_mode_files(spark, tmp_path):
     assert sorted(r["mode"] for r in read_lineage(spark, root).collect()) == [3, 2**40]
     # missing-lineage path still returns None
     assert read_lineage(spark, str(tmp_path / "nope")) is None
+
+
+def test_rle_overflow_crafted_blob_raises_not_crashes():
+    """Review r4: a crafted RLE blob whose run lengths int64-sum wraps to
+    exactly n passed the sum==n guard and segfaulted in np.repeat. The
+    max<=n check must reject it before any allocation."""
+    import struct
+
+    from zopfli_spark.codecs.bitio import pack_bits
+    from zopfli_spark.codecs.kernels import FOR_BITPACK, RLE, decode_blob, encode_best
+
+    n = 7
+    run_vals = encode_best(np.arange(5, dtype=np.int64))
+    # lengths [2^62, 2^62, 2^62, 2^62, 7]: sum wraps to 7 == n in int64.
+    # encode_best enforces the int32 write contract, so build the inner
+    # FOR_BITPACK blob by hand — exactly what a hostile byte stream can do
+    lens = np.array([2**62] * 4 + [n], dtype=np.int64)
+    base, width = n, 62
+    run_lens = (
+        bytes([FOR_BITPACK])
+        + struct.pack("<q", base)
+        + bytes([width])
+        + pack_bits((lens - base).view(np.uint64), width)
+    )
+    assert (decode_blob(run_lens, 5) == lens).all()  # craft survives decode
+    blob = (
+        bytes([RLE])
+        + struct.pack("<I", 5)
+        + struct.pack("<I", len(run_vals))
+        + run_vals
+        + run_lens
+    )
+    with pytest.raises(ValueError, match="RLE run lengths corrupt"):
+        decode_blob(blob, n)
+
+
+def test_remove_orphans_refuses_ambiguous_store(root):
+    """Review r4: a store with manifests but no committed snapshot (lost
+    LATEST on a legacy store) must refuse the sweep — otherwise every data
+    dir reads as an orphan and a fully committed store gets deleted."""
+    sd = os.path.join(root, "snapshots")
+    os.makedirs(sd)
+    with open(os.path.join(sd, "000001-abc.json"), "w") as fh:
+        json.dump({"snapshot_id": "abc", "sequence": 1, "dirs": ["data/snap-abc"]}, fh)
+    d = os.path.join(root, "data", "snap-abc")
+    os.makedirs(d)
+    with open(os.path.join(d, "part.parquet"), "wb") as fh:
+        fh.write(b"x")
+    with pytest.raises(RuntimeError, match="refusing to sweep"):
+        remove_orphan_files(root, older_than_s=0.0)
+    assert os.path.isdir(d), "data must survive the refused sweep"
+    # restoring the legacy pointer re-exposes the snapshot; sweep then
+    # correctly treats the referenced dir as live
+    with open(os.path.join(sd, "LATEST"), "w") as fh:
+        fh.write("000001-abc.json")
+    assert remove_orphan_files(root, older_than_s=0.0) == []
+    assert os.path.isdir(d)

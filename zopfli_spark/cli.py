@@ -147,7 +147,6 @@ def cmd_gc(args) -> int:
     one-record-per-key bound, reference src/zopfli/deflate.c:1164-1272)."""
     from .sources.store import compact_lineage, expire_snapshots, remove_orphan_files
 
-    spark = _spark(args)
     out: dict = {"root": args.store}
     if args.keep_snapshots is not None:
         out["expire"] = expire_snapshots(args.store, keep_last=args.keep_snapshots)
@@ -156,7 +155,9 @@ def cmd_gc(args) -> int:
             args.store, older_than_s=args.orphan_age_hours * 3600.0
         )
     if args.compact_lineage:
-        out["lineage_rows"] = compact_lineage(args.store, spark)
+        # the only gc operation that needs a SparkSession — start it lazily
+        # so pure-filesystem maintenance never pays JVM startup
+        out["lineage_rows"] = compact_lineage(args.store, _spark(args))
     print(json.dumps(out))
     return 0
 

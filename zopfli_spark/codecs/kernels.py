@@ -754,11 +754,22 @@ def decode_blob(buf: bytes, n: int) -> np.ndarray:
         run_lens = decode_blob(bytes(body[8 + vb_len :]), n_runs)
         # validate BEFORE np.repeat: a corrupt length field must raise, not
         # attempt a multi-GB allocation (a flipped byte in a run length is an
-        # allocation bomb otherwise; the page CRC only runs after decode)
-        if n_runs and (int(run_lens.min()) < 0 or int(run_lens.sum()) != n):
-            raise ValueError(
-                f"RLE run lengths corrupt: sum {int(run_lens.sum())} != {n}"
-            )
+        # allocation bomb otherwise; the page CRC only runs after decode).
+        # max<=n is checked FIRST so the int64 sum cannot wrap (crafted
+        # run_lens like [2^62]*4 wrapped the sum to exactly n and reached a
+        # segfaulting np.repeat); with every length in [0, n] and n_runs<=n,
+        # sum <= n^2 < 2^63 for any page the engine can produce
+        if n_runs:
+            lmin, lmax = int(run_lens.min()), int(run_lens.max())
+            if (
+                lmin < 0
+                or lmax > n
+                or n_runs * lmax >= 2**63  # int64 sum provably exact below this
+                or int(run_lens.sum()) != n
+            ):
+                raise ValueError(
+                    f"RLE run lengths corrupt: min={lmin} max={lmax} n={n}"
+                )
         return np.repeat(run_vals, run_lens)
     if tag == DICT:
         (card,) = _U32.unpack(body[:4])

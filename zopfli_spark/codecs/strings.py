@@ -79,18 +79,22 @@ def _utf8_buffers(arr: pa.Array) -> tuple[bytes, np.ndarray]:
 
 
 def strings_from_utf8(data: bytes, lengths: np.ndarray) -> pa.Array:
-    """Build a StringArray directly from (data, lengths) buffers. Pages whose
-    string payload exceeds the 2 GiB int32-offset limit come back as
-    large_utf8 (int64 offsets) — the silent-wrap alternative (cumsum int64 →
-    out=int32) corrupted the array instead of erroring (ADVICE r3 low)."""
+    """Build a StringArray directly from (data, lengths) buffers. A page
+    whose string payload reaches the 2 GiB int32-offset limit raises loudly
+    — the silent-wrap alternative (cumsum int64 → out=int32) built a corrupt
+    StringArray (ADVICE r3 low), and a large_utf8 fallback would be just as
+    broken one step later: the decode flush concatenates page arrays into a
+    fixed ``string``-typed output schema, where a stray large_string raises
+    ArrowInvalid. 2 GiB of doc_id/source metadata in ONE page (≤ page-budget
+    rows) is far outside the engine's write geometry, so this is a corrupt-
+    input guard, not a capacity limit."""
     n = len(lengths)
     total = int(lengths.sum()) if n else 0
     if total >= 2**31:
-        offsets = np.zeros(n + 1, dtype=np.int64)
-        np.cumsum(lengths, out=offsets[1:])
-        return pa.Array.from_buffers(
-            pa.large_utf8(), n,
-            [None, pa.py_buffer(offsets.tobytes()), pa.py_buffer(data)],
+        raise ValueError(
+            f"string payload of one page is {total} bytes — exceeds the 2 GiB "
+            "utf8 offset limit (corrupt lengths, or re-encode with a smaller "
+            "page budget)"
         )
     offsets = np.zeros(n + 1, dtype=np.int32)
     np.cumsum(lengths.astype(np.int32, copy=False), out=offsets[1:])

@@ -83,18 +83,37 @@ def compact_lineage(root: str, spark: SparkSession) -> int:
     the StatsDB-lifecycle analog (reference src/zopfli/deflate.c:1164-1272
     keeps ONE record per (CRC, mode, size); ours appended every run forever,
     so resume shuffled an ever-growing full history — VERDICT r3 missing #1).
-    Safe to call any time: records for the same key are byte-identical (the
-    engine is deterministic), so keeping any one preserves resume semantics.
+
+    Crash- and concurrency-safe WITHOUT a directory swap (a rename window
+    would briefly leave no lineage at all, and a crash inside it silently
+    destroyed the resume table): compacted files are moved INTO the live
+    dir, then exactly the pre-existing file set is deleted. Every record for
+    a key is byte-identical (deterministic engine) and readers dedup, so
+    any interleaving — readers mid-compaction, a concurrent append (its new
+    files are not in the pre-listed set), a crash at any point — leaves a
+    table that is a superset of the live rows, never less.
     Returns the number of live rows kept, or -1 if there was no lineage."""
     import shutil as _shutil
+    import uuid as _uuid
 
     from ..lineage import LINEAGE_SCHEMA
 
     path = os.path.join(root, "lineage")
+    # list FIRST, then read exactly the listed files: the delete set must
+    # equal the read set, or a file appended between the two listings would
+    # be deleted without having been compacted (lost rows)
+    old_files = [
+        os.path.join(dp, f)
+        for dp, _, fs in os.walk(path)
+        for f in fs
+        if f.endswith(".parquet")
+    ]
+    if not old_files:
+        return -1
     try:
         # explicit schema (see read_lineage): widens pre-fix int32 `mode`
         # files, so compacting is also the upgrade path for an r3-era store
-        df = spark.read.schema(LINEAGE_SCHEMA).parquet(path)
+        df = spark.read.schema(LINEAGE_SCHEMA).parquet(*old_files)
     except Exception:
         return -1
     live = df.dropDuplicates(["content_key", "mode"])
@@ -102,12 +121,32 @@ def compact_lineage(root: str, spark: SparkSession) -> int:
     _shutil.rmtree(tmp, ignore_errors=True)
     live.write.mode("overwrite").parquet(tmp)
     kept = spark.read.parquet(tmp).count()
-    old = path + ".compact.old"
-    _shutil.rmtree(old, ignore_errors=True)
-    os.rename(path, old)
-    os.rename(tmp, path)
-    _shutil.rmtree(old, ignore_errors=True)
+    # move compacted files in (unique names — no collision with live files),
+    # THEN drop exactly the files the compaction read
+    for dp, _, fs in os.walk(tmp):
+        for f in fs:
+            if f.endswith(".parquet"):
+                os.replace(
+                    os.path.join(dp, f),
+                    os.path.join(path, f"compact-{_uuid.uuid4().hex[:12]}-{f}"),
+                )
+    for f in old_files:
+        try:
+            os.unlink(f)
+        except OSError:
+            pass
+    _shutil.rmtree(tmp, ignore_errors=True)
     return int(kept)
+
+
+def maybe_compact_lineage(root: str, spark: SparkSession, threshold_files: int = 64) -> bool:
+    """Shared opportunistic-compaction trigger for the batch and streaming
+    append paths: compact once the append-only dir has accumulated more
+    than ``threshold_files`` parquet files."""
+    if threshold_files >= 0 and store_partition_count(root, "lineage") > threshold_files:
+        compact_lineage(root, spark)
+        return True
+    return False
 
 
 def lineage_file_count(root: str) -> int:
@@ -140,8 +179,7 @@ def encode_to_store(
     write_pages(pages, root)
     pages_on_disk = read_pages(spark, root)
     append_lineage(pages_on_disk, root, config)
-    if lineage_file_count(root) > compact_after_files:
-        compact_lineage(root, spark)
+    maybe_compact_lineage(root, spark, compact_after_files)
     m = metrics_table(pages_on_disk, run_id)
     append_metrics(m, root)
     return m
@@ -358,7 +396,21 @@ def remove_orphan_files(root: str, older_than_s: float = 24 * 3600.0) -> list[st
     import shutil as _shutil
     import time as _time
 
-    referenced = {d for m in list_snapshots(root) for d in m["dirs"]}
+    snaps = list_snapshots(root)
+    sd = _snap_dir(root)
+    if not snaps and os.path.isdir(sd) and any(
+        f.endswith(".json") for f in os.listdir(sd)
+    ):
+        # manifests exist but none read as committed — a legacy store whose
+        # advisory LATEST pointer was lost, or a half-migrated one. Sweeping
+        # here would treat EVERY data dir as an orphan and delete a fully
+        # committed store's data; refuse instead (restore LATEST or backfill
+        # .commit markers to re-expose the snapshots).
+        raise RuntimeError(
+            f"{root}: snapshot manifests present but none committed "
+            "(missing .commit markers and LATEST) — refusing to sweep orphans"
+        )
+    referenced = {d for m in snaps for d in m["dirs"]}
     data_root = os.path.join(root, "data")
     removed = []
     if not os.path.isdir(data_root):
@@ -369,7 +421,12 @@ def remove_orphan_files(root: str, older_than_s: float = 24 * 3600.0) -> list[st
         if rel in referenced:
             continue
         full = os.path.join(root, rel)
-        newest = os.path.getmtime(full)
+        if not os.path.isdir(full):
+            continue  # stray regular file: not ours to judge
+        try:
+            newest = os.path.getmtime(full)
+        except OSError:
+            continue  # vanished under a concurrent gc — fine, it's gone
         for dirpath, _, files in os.walk(full):
             for f in files:
                 try:
@@ -378,7 +435,8 @@ def remove_orphan_files(root: str, older_than_s: float = 24 * 3600.0) -> list[st
                     pass
         if now - newest >= older_than_s:
             _shutil.rmtree(full, ignore_errors=True)
-            removed.append(rel)
+            if not os.path.exists(full):  # report only what actually went
+                removed.append(rel)
     return removed
 
 

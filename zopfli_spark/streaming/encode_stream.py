@@ -36,8 +36,7 @@ def encode_stream(
     from ..engine import encode_table
     from ..sources.store import (
         append_lineage,
-        compact_lineage,
-        lineage_file_count,
+        maybe_compact_lineage,
         read_lineage,
         write_pages,
     )
@@ -52,9 +51,8 @@ def encode_stream(
         append_lineage(pages, root, config)
         # an always-on stream appends lineage every micro-batch forever;
         # keep the resume table content-bounded (one row per live key, the
-        # StatsDB shape) exactly like the batch path does
-        if lineage_file_count(root) > 64:
-            compact_lineage(root, spark)
+        # StatsDB shape) via the same shared trigger as the batch path
+        maybe_compact_lineage(root, spark)
 
     writer = stream_df.writeStream.foreachBatch(process_batch).outputMode("append")
     if checkpoint:
