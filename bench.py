@@ -472,7 +472,7 @@ def main() -> None:
         # one extra visit: the gate pair gets the most noise immunity.
         scaling = _pair_or_error(
             scale_path, scale_tokens, scale_docs, 2, 8,
-            visits=2, runs_per_visit=1, adaptive_extra=2, deadline=deadline - 600,
+            visits=2, runs_per_visit=1, adaptive_extra=4, deadline=deadline - 600,
         )
         # second sub-capacity pair, sampled IDENTICALLY (supporting evidence)
         if time.time() < deadline - 450:
