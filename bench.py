@@ -289,6 +289,8 @@ def _run_scaling(
     return {
         "cores_lo": lo,
         "cores_hi": hi,
+        # workers taskset-pinned to exactly N CPUs (per-executor core limit)
+        "pinned": bool(shutil.which("taskset")),
         "tokens_per_sec_lo": best[lo]["tokens_per_sec"],
         "tokens_per_sec_hi": best[hi]["tokens_per_sec"],
         "wall_lo_sec": best[lo]["wall"],
