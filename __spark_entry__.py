@@ -165,6 +165,18 @@ def q_roundtrip_deep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _roundtrip_agg(docs, cfg)
 
 
+def q_roundtrip_groupdict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-level shared Huffman dictionary + content-clustered doc order
+    through the full correctness gate (r5: the EncodeTree header-
+    amortization idea across pages, reference src/zopfli/deflate.c:118-293).
+    The shared dictionary changes page payloads and row order, never decoded
+    bytes — same oracle as roundtrip_lineitem."""
+    import dataclasses
+
+    cfg = dataclasses.replace(_cfg_for(sf_dir), group_dict=True, cluster_docs=True)
+    return _roundtrip_agg(_lineitem_docs(spark, sf_dir), cfg)
+
+
 def q_pages_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row/value conservation through the page pipeline."""
     pages = encode_table(_lineitem_docs(spark, sf_dir), _cfg_for(sf_dir))
@@ -459,6 +471,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roundtrip_delta": q_roundtrip_delta,
         "roundtrip_dict": q_roundtrip_dict,
         "roundtrip_deep": q_roundtrip_deep,
+        "roundtrip_groupdict": q_roundtrip_groupdict,
         "pages_inventory": q_pages_inventory,
         "partition_plan": q_partition_plan,
         "doc_stats": q_doc_stats,
@@ -666,6 +679,12 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_dec,
                    CAST(sum(event_id % 97) AS BIGINT) AS tok_sum
             FROM events GROUP BY user_id ORDER BY doc_id
+        """,
+        "roundtrip_groupdict": """
+            SELECT printf('doc_%09d', l_orderkey) AS doc_id,
+                   CAST(count(*) AS BIGINT) AS n_dec,
+                   CAST(sum(l_partkey) AS BIGINT) AS tok_sum
+            FROM lineitem GROUP BY l_orderkey ORDER BY doc_id
         """,
         "metrics_topk": """
             SELECT printf('doc_%09d', l_orderkey) AS doc_id,

@@ -107,6 +107,10 @@ def unpack_bits(buf: bytes, n: int, width: int) -> np.ndarray:
     """Inverse of :func:`pack_bits` → uint64 array of length ``n``."""
     if width == 0 or n == 0:
         return np.zeros(n, dtype=np.uint64)
+    if width > 64:
+        # a crafted blob can carry any width byte; >64 would silently
+        # mis-slice the lane matrix below — raise before any allocation
+        raise ValueError(f"width {width} > 64")
     if len(buf) < (n * width + 7) // 8:
         # corrupt/truncated input must raise, never silently decode short
         # (page CRCs catch corruption later, but a blob-level decode should

@@ -34,6 +34,21 @@ Blob format (self-describing, recursive for composites)::
                    [u32 total_bits][MSB-first canonical-Huffman bitstream]
     DICT_SHIFT 11: [u8 shift][u32 cardq][u32 len(dict_blob)][dict_blob]
                    [u32 len(idx_blob)][idx_blob][packed low bits (n·shift)]
+    GROUP_HUFFMAN 12: [u32 dict_crc][u16 miniblock K]
+                   [u32 len(offsets_blob)][offsets_blob][u32 total_bits]
+                   [MSB-first canonical-Huffman bitstream]
+                   — symbols/lengths live in the GROUP dictionary row
+                   (GROUP_DICT_STORE) shared by every adopting page of the
+                   group; dict_crc pins the right one. NOT self-describing:
+                   decode needs the dict row (decode_page/decode_table
+                   thread it; bare decode_blob raises).
+    GROUP_DICT_STORE 13: [u32 card][u8 maxbits][u32 len(dict_blob)]
+                   [dict_blob — sorted uniq values][len_tbl — nested blob]
+                   — the shared dictionary payload, stored once per group in
+                   a dedicated page row (page_id -1, empty header), before
+                   its pages in (part_id, page_id) order — the
+                   dictionary-page-before-data-pages layout of columnar
+                   formats.
 
 Decoding only needs the blob plus the value count ``n`` (counts for nested
 blobs are derivable: RLE stores n_runs, DICT stores card). All kernels are
@@ -63,6 +78,8 @@ FOR_ZLIB = 8
 PLANE_ZLIB = 9
 HUFFMAN = 10
 DICT_SHIFT = 11
+GROUP_HUFFMAN = 12
+GROUP_DICT_STORE = 13
 
 CODEC_NAMES = {
     PLAIN: "plain",
@@ -77,6 +94,8 @@ CODEC_NAMES = {
     PLANE_ZLIB: "plane_zlib",
     HUFFMAN: "huffman",
     DICT_SHIFT: "dict_shift",
+    GROUP_HUFFMAN: "group_huffman",
+    GROUP_DICT_STORE: "group_dict_store",
 }
 
 _I64 = struct.Struct("<q")
@@ -458,6 +477,58 @@ def _enc_huffman(
     )
 
 
+def _build_peek_lut(lengths: np.ndarray, maxlen: int) -> np.ndarray:
+    """Fused peek-LUT: entry = (symbol << 5) | code_length — one gather
+    resolves symbol AND length for any ``maxlen``-bit peek. 5 low bits for
+    the length (lengths reach 17 in the group-dict codec; the page codec's
+    15 fits too)."""
+    codes = _canonical_codes(lengths)
+    L = int(maxlen)
+    if L < 1 or L > 24 or int(lengths.max()) > L:
+        raise ValueError(f"bad huffman maxlen {L} for max length {int(lengths.max())}")
+    lut = np.ones(1 << L, dtype=np.int32)  # len=1 avoids inf-loop on junk peeks
+    order = np.argsort(lengths, kind="stable")
+    sorted_len = lengths[order]
+    for l in np.unique(sorted_len).tolist():
+        if l == 0:
+            continue  # zero-count symbols have no code (group dict histograms)
+        syms = order[sorted_len == l]
+        span = 1 << (L - l)
+        lo = int(codes[syms[0]]) << (L - l)
+        lut[lo : lo + len(syms) * span] = np.repeat(
+            (syms.astype(np.int32) << 5) | l, span
+        )
+    return lut
+
+
+def _huffman_steps(
+    payload: memoryview, block_offs: np.ndarray, K: int, n: int, lut: np.ndarray, maxlen: int
+) -> np.ndarray:
+    """Miniblock-parallel canonical-Huffman stepping → symbol indices.
+
+    32-bit sliding window over the payload: peek(p) needs only two gathers
+    (W[p>>3] then shift/mask), so peek cost is O(tokens), not O(total_bits).
+    Padding lets exhausted miniblocks keep stepping branchlessly past the
+    end (≤ K·maxlen junk bits) — junk rows are sliced off at the end."""
+    if len(block_offs) and (int(block_offs.min()) < 0 or int(block_offs.max()) > 8 * len(payload)):
+        raise ValueError("huffman miniblock offsets out of payload range")
+    buf = np.frombuffer(payload, dtype=np.uint8).astype(np.uint32)
+    buf = np.concatenate([buf, np.zeros(K * maxlen // 8 + 8, dtype=np.uint32)])
+    W = (buf[:-3] << 24) | (buf[1:-2] << 16) | (buf[2:-1] << 8) | buf[3:]
+    L = int(maxlen)
+    nb = len(block_offs)
+    pos = block_offs.astype(np.int64).copy()
+    base_shift = np.uint32(32 - L)
+    mask = np.uint32((1 << L) - 1)
+    out2d = np.empty((min(K, n), nb), dtype=np.int32)
+    for j in range(out2d.shape[0]):
+        q, r = np.divmod(pos, 8)
+        c = lut[(W[q] >> (base_shift - r.astype(np.uint32))) & mask]
+        out2d[j] = c
+        pos += c & 31
+    return out2d.T.ravel()[:n] >> 5
+
+
 def _dec_huffman(body: memoryview, n: int) -> np.ndarray:
     """Vectorized canonical-Huffman decode: peek-LUT over every bit position
     (code length + symbol resolved in O(1) per position), then all miniblocks
@@ -481,37 +552,139 @@ def _dec_huffman(body: memoryview, n: int) -> np.ndarray:
     block_offs = decode_blob(bytes(body[off : off + ob_len]), n_blocks)
     off += ob_len
     off += 4  # total_bits (implicit in the stepping; kept for forward compat)
-    # 32-bit sliding window over the payload: peek(p) needs only two gathers
-    # (W[p>>3] then shift/mask), so peek cost is O(tokens), not O(total_bits).
-    # Padding lets exhausted miniblocks keep stepping branchlessly past the
-    # end (≤ K·maxbits junk bits) — junk rows are sliced off at the end.
-    payload = np.frombuffer(body, dtype=np.uint8, offset=off).astype(np.uint32)
-    payload = np.concatenate([payload, np.zeros(K * _HUFF_MAXBITS // 8 + 4, dtype=np.uint32)])
-    W = (payload[:-3] << 24) | (payload[1:-2] << 16) | (payload[2:-1] << 8) | payload[3:]
-    L = int(maxlen)
-    codes = _canonical_codes(lengths)
-    # fused LUT: entry = (symbol << 4) | code_length — one gather per step
-    lut = np.ones(1 << L, dtype=np.int32)  # len=1 avoids inf-loop on junk peeks
-    order = np.argsort(lengths, kind="stable")
-    sorted_len = lengths[order]
-    for l in np.unique(sorted_len).tolist():
-        syms = order[sorted_len == l]
-        span = 1 << (L - l)
-        lo = int(codes[syms[0]]) << (L - l)
-        lut[lo : lo + len(syms) * span] = np.repeat(
-            (syms.astype(np.int32) << 4) | l, span
+    lut = _build_peek_lut(lengths, int(maxlen))
+    syms = _huffman_steps(body[off:], block_offs, K, n, lut, int(maxlen))
+    return dict_vals[syms]
+
+
+# ---------------------------------------------------------------------------
+# Group-level shared Huffman dictionary (header amortization across pages)
+# ---------------------------------------------------------------------------
+#
+# The EncodeTree/AddDynamicTree header-amortization idea one level up
+# (reference src/zopfli/deflate.c:118-293,299-363 transmits one tree per
+# block; this transmits one (dict values + code lengths) table per GROUP and
+# lets every adopting page emit only offsets + bitstream). Entropy-bound
+# pages pay ~2-3 bits/value of per-page dict header at fine page granularity
+# — measured on the synth mixture, the shared table removes ~5% of total
+# payload at the ratio dials.
+
+_GH_MAXBITS = 17  # >15: the shared table's alphabet is a whole group's union
+_GH_MAX_CARD = 1 << 17
+
+
+def encode_group_dict(uniq: np.ndarray, counts: np.ndarray, zlib_level: int = 6) -> bytes:
+    """Build the GROUP_DICT_STORE payload: sorted uniq values + canonical
+    code lengths trained on ``counts``. Pure function of its inputs (and
+    zlib_level), so lineage replay reproduces the same bytes."""
+    if len(uniq) < 2 or len(uniq) > _GH_MAX_CARD:
+        raise ValueError(f"group dict cardinality {len(uniq)} out of range")
+    lengths = np.asarray(package_merge(counts, _GH_MAXBITS), dtype=np.int64)
+    dict_blob = encode_simple(_as_i64(uniq))
+    len_tbl = encode_best(
+        lengths, zlib_level=zlib_level, try_zlib=True, try_huffman=True,
+        huffman_headroom=1.0,
+    )
+    return (
+        bytes([GROUP_DICT_STORE])
+        + _U32.pack(len(uniq))
+        + bytes([int(lengths.max())])
+        + _U32.pack(len(dict_blob))
+        + dict_blob
+        + len_tbl
+    )
+
+
+class GroupDict:
+    """Parsed GROUP_DICT_STORE blob + lazily-built decode LUT (built once
+    per group, shared by every page decode — the dict row streams ahead of
+    its pages, exactly like a columnar format's dictionary page)."""
+
+    __slots__ = ("crc", "vals", "lengths", "maxlen", "_lut", "_codes")
+
+    def __init__(self, blob: bytes):
+        if not blob or blob[0] != GROUP_DICT_STORE:
+            raise ValueError("not a group dictionary blob")
+        body = memoryview(blob)[1:]
+        (card,) = _U32.unpack(body[:4])
+        if card < 2 or card > _GH_MAX_CARD:
+            raise ValueError(f"group dict cardinality {card} out of range")
+        self.maxlen = body[4]
+        if not (1 <= self.maxlen <= _GH_MAXBITS):
+            raise ValueError(f"group dict maxbits {self.maxlen} out of range")
+        (db_len,) = _U32.unpack(body[5:9])
+        self.vals = decode_blob(bytes(body[9 : 9 + db_len]), card)
+        self.lengths = decode_blob(bytes(body[9 + db_len :]), card)
+        if int(self.lengths.min()) < 1 or int(self.lengths.max()) > self.maxlen:
+            raise ValueError("group dict code lengths out of range")
+        self.crc = zlib.crc32(blob)
+        self._lut = None
+        self._codes = None
+
+    @property
+    def lut(self) -> np.ndarray:
+        if self._lut is None:
+            self._lut = _build_peek_lut(self.lengths, int(self.maxlen))
+        return self._lut
+
+    @property
+    def codes(self) -> np.ndarray:
+        if self._codes is None:
+            self._codes = _canonical_codes(self.lengths)
+        return self._codes
+
+
+def group_huffman_size(tok_len: np.ndarray) -> int:
+    """Exact GROUP_HUFFMAN page size for per-token code lengths — computable
+    before any emission (ZopfliCalculateBlockSize discipline)."""
+    total_bits = int(tok_len.sum())
+    starts = np.cumsum(tok_len) - tok_len
+    off_blob = encode_simple(starts[::_HUFF_K])
+    return 1 + 4 + 2 + 4 + len(off_blob) + 4 + (total_bits + 7) // 8
+
+
+def encode_group_huffman(pos: np.ndarray, gd: GroupDict, dict_crc: int) -> bytes:
+    """Emit one page's GROUP_HUFFMAN payload: ``pos`` are indices into the
+    group dictionary (every page value must be present in it)."""
+    tok_len = gd.lengths[pos]
+    tok_code = gd.codes[pos]
+    offs = np.zeros(len(pos) + 1, dtype=np.int64)
+    np.cumsum(tok_len, out=offs[1:])
+    total_bits = int(offs[-1])
+    starts = offs[:-1]
+    offsets_blob = encode_simple(starts[::_HUFF_K])
+    payload = _emit_bits(starts, tok_code, tok_len, total_bits)
+    return (
+        bytes([GROUP_HUFFMAN])
+        + _U32.pack(dict_crc & 0xFFFFFFFF)
+        + struct.pack("<H", _HUFF_K)
+        + _U32.pack(len(offsets_blob))
+        + offsets_blob
+        + _U32.pack(total_bits)
+        + payload
+    )
+
+
+def decode_group_huffman(buf: bytes, n: int, gd: GroupDict) -> np.ndarray:
+    """Decode a GROUP_HUFFMAN page payload against its group dictionary."""
+    if not buf or buf[0] != GROUP_HUFFMAN:
+        raise ValueError("not a group_huffman blob")
+    body = memoryview(buf)[1:]
+    (crc,) = _U32.unpack(body[:4])
+    if crc != (gd.crc & 0xFFFFFFFF):
+        raise ValueError(
+            f"group dictionary mismatch: page expects crc {crc}, "
+            f"supplied dict has {gd.crc & 0xFFFFFFFF}"
         )
-    nb = len(block_offs)
-    pos = block_offs.astype(np.int64).copy()
-    base_shift = np.uint32(32 - L)
-    mask = np.uint32((1 << L) - 1)
-    out2d = np.empty((min(K, n), nb), dtype=np.int32)
-    for j in range(out2d.shape[0]):
-        q, r = np.divmod(pos, 8)
-        c = lut[(W[q] >> (base_shift - r.astype(np.uint32))) & mask]
-        out2d[j] = c
-        pos += c & 15
-    return dict_vals[(out2d.T.ravel()[:n]) >> 4]
+    (K,) = struct.unpack("<H", body[4:6])
+    if K == 0:
+        raise ValueError("group_huffman miniblock size 0")
+    (ob_len,) = _U32.unpack(body[6:10])
+    n_blocks = max(1, (n + K - 1) // K)
+    block_offs = decode_blob(bytes(body[10 : 10 + ob_len]), n_blocks)
+    off = 10 + ob_len + 4  # total_bits implicit in the stepping
+    syms = _huffman_steps(body[off:], block_offs, K, n, gd.lut, int(gd.maxlen))
+    return gd.vals[syms]
 
 
 def encode_forced(
@@ -778,6 +951,11 @@ def decode_blob(buf: bytes, n: int) -> np.ndarray:
         (db_len,) = _U32.unpack(body[4:8])
         dict_vals = decode_blob(bytes(body[8 : 8 + db_len]), card)
         indices = decode_blob(bytes(body[8 + db_len :]), n)
+        # explicit bounds check: a corrupt index blob would otherwise gather
+        # silently (negatives wrap from the end) and be caught only by the
+        # page CRC — raise here, before returning garbage
+        if n and (int(indices.min()) < 0 or int(indices.max()) >= card):
+            raise ValueError("DICT indices out of range")
         return dict_vals[indices]
     if tag == ZLIB:
         raw = zlib.decompress(bytes(body))
@@ -809,8 +987,17 @@ def decode_blob(buf: bytes, n: int) -> np.ndarray:
         qvals = decode_blob(bytes(body[9 : 9 + db_len]), cardq)
         (ib_len,) = _U32.unpack(body[9 + db_len : 13 + db_len])
         idx = decode_blob(bytes(body[13 + db_len : 13 + db_len + ib_len]), n)
+        if n and (int(idx.min()) < 0 or int(idx.max()) >= cardq):
+            raise ValueError("DICT_SHIFT indices out of range")
         resid = unpack_bits(bytes(body[13 + db_len + ib_len :]), n, shift)
         return (qvals[idx] << shift) + resid.astype(np.int64)
+    if tag == GROUP_HUFFMAN:
+        raise ValueError(
+            "group_huffman blob requires its group dictionary — decode via "
+            "decode_page/decode_table (the dict row streams ahead of pages)"
+        )
+    if tag == GROUP_DICT_STORE:
+        raise ValueError("group dictionary store blob — parse with GroupDict(blob)")
     raise ValueError(f"unknown codec tag {tag}")
 
 

@@ -160,6 +160,50 @@ def _achievable_bpv(
     return float((best * m).sum() / m.sum()) / 8.0
 
 
+# --- group-level shared Huffman dictionary: training policy ---------------
+# (mechanism lives in codecs.kernels; these thresholds are the CONTENT-PURE
+# selection rule, chosen so lineage replay re-derives the identical training
+# set — and therefore identical dictionary bytes — without re-running any
+# size comparison, VERDICT r4 next #2)
+_GH_MIN_TRAIN_SPAN = 4096  # spans below this are too noisy to train on
+_GH_MIN_TRAIN_CARD = 257  # dict-header-bound territory starts past one byte
+_GH_ENTROPY_MARGIN = 0.92  # H0 must beat the analytic codec floor by ≥8%
+_GH_KL_MAX = 0.3  # drop training spans whose cross-entropy under the
+#                   EQUAL-WEIGHT pooled code exceeds their own H0 by more
+#                   (distribution mismatch pollutes the shared code; same-
+#                   family spans measure ce−h0 ≈ 0.0-0.15, a mixed-content
+#                   outlier ≥ 1 — see the refinement comment in _gh_ctx)
+_GH_ROW_OVERHEAD = 48  # approximate per-row cost of the dict row itself
+
+
+def _doc_signature_keys(values: np.ndarray, val_offsets: np.ndarray) -> np.ndarray:
+    """Per-doc content-signature sort keys for cluster_docs: (range bits,
+    run-ratio bucket, sampled-distinct bucket, mean-|delta| bits) packed
+    into one int64. Pure function of content → identical at any parallelism.
+    A ~µs-scale numpy pass per doc; the group kernel it precedes runs
+    seconds at the dials that enable clustering."""
+    n_docs = len(val_offsets) - 1
+    keys = np.zeros(n_docs, dtype=np.int64)
+    for i in range(n_docs):
+        a, b = int(val_offsets[i]), int(val_offsets[i + 1])
+        n = b - a
+        if n == 0:
+            continue
+        d = values[a:b].astype(np.int64)
+        rng_b = int(max(int(d.max()) - int(d.min()), 0)).bit_length()
+        if n > 1:
+            diffs = np.diff(d)
+            runs = 1 + int(np.count_nonzero(diffs))
+            mad_b = int(float(np.abs(diffs).mean()) + 1).bit_length()
+        else:
+            runs, mad_b = 1, 0
+        run_b = int(8 * runs / n)
+        samp = d[:: max(1, n // 256)]
+        dist_b = int(8 * len(np.unique(samp)) / len(samp))
+        keys[i] = (rng_b << 24) | (run_b << 16) | (dist_b << 8) | mad_b
+    return keys
+
+
 def _string_col(tbl: pa.Table, name: str) -> pa.Array:
     """One contiguous StringArray for a column (no per-row conversion)."""
     col = tbl.column(name).combine_chunks()
@@ -217,6 +261,27 @@ def _encode_group(
         int(np.bitwise_xor.reduce(row_h).view(np.int64)) if len(row_h) else 0
     )
     content_hash = group_content_hash(values, doc_ids)
+    # content-clustered doc ordering (config.cluster_docs): reorder docs by
+    # signature so pages become codec-homogeneous. Runs AFTER the content
+    # hash (keys stay order-canonical: hash is over doc_id order) and
+    # BEFORE any plan/hint application (recorded boundaries refer to the
+    # clustered order — replay under the same config reorders identically,
+    # and cluster_docs is a mode bit so cross-config plans never match).
+    if config.cluster_docs and len(lens) > 2:
+        _pre_offsets = np.concatenate(([0], np.cumsum(lens)))
+        _keys = _doc_signature_keys(values, _pre_offsets)
+        _perm = np.argsort(_keys, kind="stable")  # stable → doc_id tiebreak
+        if not np.array_equal(_perm, np.arange(len(_perm))):
+            doc_ids = doc_ids.take(pa.array(_perm))
+            sources = sources.take(pa.array(_perm))
+            _lens_p = lens[_perm]
+            _new_off = np.concatenate(([0], np.cumsum(_lens_p)))[:-1]
+            _idx = (
+                np.repeat(_pre_offsets[:-1][_perm] - _new_off, _lens_p)
+                + np.arange(len(values))
+            )
+            values = values[_idx]
+            lens = _lens_p
     plan = None
     _hint_rec = hints.get(content_key) if hints else None
     if _hint_rec is not None and _hint_rec[0] == content_hash:
@@ -299,6 +364,137 @@ def _encode_group(
 
     allowed_tags = _allowlist_tags(config.codec_allowlist)
 
+    # --- group-level shared Huffman dictionary context (lazy) --------------
+    # Training-set selection is CONTENT-PURE (no realized-size comparisons):
+    # spans where order-0 entropy beats every analytic codec floor by
+    # ≥(1-_GH_ENTROPY_MARGIN) and cardinality is dict-header-bound, refined
+    # by dropping spans whose cross-entropy under the pooled code exceeds
+    # their own H0 (distribution mismatch). Replay therefore re-derives the
+    # identical dictionary bytes from (content, config, recorded bounds)
+    # alone; WHICH pages adopted is recorded per page in the plan's codec
+    # names, so no adoption decision ever needs replaying.
+    _gh_state: dict = {}
+
+    def _gh_ctx() -> dict:
+        if _gh_state:
+            return _gh_state
+        from .codecs.bitio import bit_width
+        from .codecs.kernels import (
+            _GH_MAX_CARD,
+            GroupDict,
+            _entropy_bits,
+            encode_group_dict,
+        )
+
+        train: list[tuple] = []
+        for k in range(len(row_bounds) - 1):
+            a, b = int(val_offsets[row_bounds[k]]), int(val_offsets[row_bounds[k + 1]])
+            n_sp = b - a
+            if n_sp < _GH_MIN_TRAIN_SPAN:
+                continue
+            sp = values[a:b].astype(np.int64)
+            u, cts = np.unique(sp, return_counts=True)
+            if len(u) < _GH_MIN_TRAIN_CARD or len(u) > _GH_MAX_CARD:
+                continue
+            h0 = _entropy_bits(cts) / n_sp
+            w_for = bit_width(int(sp.max()) - int(sp.min()))
+            if n_sp > 1:
+                diffs = np.diff(sp)
+                w_delta = bit_width(2 * int(np.abs(diffs).max()))
+                rle_b = 64.0 * (1 + int(np.count_nonzero(diffs))) / n_sp
+            else:
+                w_delta, rle_b = 64, 64.0
+            if h0 < _GH_ENTROPY_MARGIN * min(w_for, w_delta, rle_b):
+                train.append((u, cts, h0, k))
+        # greedy cardinality-capped selection, LOW-card spans first (span
+        # index as the deterministic tiebreak — content-pure, so replay
+        # re-derives the same set): without this, one high-card span (a
+        # page mixing a heavy-tail distribution with near-uniform content)
+        # inflates the pooled union past _GH_MAX_CARD and the WHOLE group
+        # bailed — and the KL refinement below could not save it, because
+        # the offending span carries the majority mass, so refinement kept
+        # it and dropped the compatible low-card spans instead (measured on
+        # the r5 mixture: 0 adoptions at the ratio dials, ~3.5% payload
+        # left on the table). Compatible spans overlap heavily, so their
+        # running union grows slowly; an incompatible giant fails the cap
+        # and is skipped, never poisoning the pool.
+        train.sort(key=lambda t: (len(t[0]), t[3]))
+        selected: list[tuple] = []
+        uni: np.ndarray | None = None
+        for t in train:
+            merged = t[0] if uni is None else np.union1d(uni, t[0])
+            if len(merged) > _GH_MAX_CARD:
+                continue
+            uni = merged
+            selected.append(t)
+        train = selected
+        # KL refinement: drop distribution-mismatched spans, retrain. The
+        # compatibility metric pools spans with EQUAL weight (each span's
+        # counts normalized to a probability first): under mass-weighted
+        # pooling one giant span dominates q, inflating every OTHER span's
+        # cross-entropy — on the r5 mixture a 1.4M-value mixed page made
+        # all nine compatible zipf spans read ce−h0 ≈ 0.65 while itself
+        # reading 0.33, so refinement either dropped the good spans or gave
+        # up, and adoption never fired. Equal-weight q makes the true
+        # outlier the one that pays: a span unlike the others sees its
+        # values at ~1/K of their own probability (ce−h0 ≈ log2 K) while
+        # compatible spans sit near 0. When every span fails the gate the
+        # set is heterogeneous — drop only the single worst offender and
+        # re-pool, so one bad span can never take the group down with it.
+        # round cap bounds refinement CPU on pathological heterogeneous
+        # groups (drop-worst removes one span per round); exact byte
+        # safety never depends on refinement — adoption is keep-if-smaller
+        for _round in range(16):
+            if not train:
+                break
+            allu = np.unique(np.concatenate([t[0] for t in train]))
+            q = np.zeros(len(allu), dtype=np.float64)
+            for u, cts, _h0, _k in train:
+                q[np.searchsorted(allu, u)] += cts / cts.sum()
+            q /= len(train)
+            offenses = []
+            for t in train:
+                u, cts, h0, _k = t
+                ce = float(-(cts * np.log2(q[np.searchsorted(allu, u)])).sum() / cts.sum())
+                offenses.append(ce - h0)
+            keep = [t for t, o in zip(train, offenses) if o <= _GH_KL_MAX]
+            if len(keep) == len(train):
+                break
+            if not keep:
+                worst = int(np.argmax(offenses))
+                keep = [t for j, t in enumerate(train) if j != worst]
+            train = keep
+        if not train:
+            _gh_state.update(blob=None)
+            return _gh_state
+        allu = np.unique(np.concatenate([t[0] for t in train]))
+        if len(allu) < 2 or len(allu) > _GH_MAX_CARD:
+            _gh_state.update(blob=None)
+            return _gh_state
+        pooled = np.zeros(len(allu), dtype=np.int64)
+        for u, cts, _h0, _k in train:
+            pooled[np.searchsorted(allu, u)] += cts
+        blob = encode_group_dict(allu, pooled, zlib_level=config.zlib_level)
+        _gh_state.update(blob=blob, gd=GroupDict(blob), su=allu)
+        return _gh_state
+
+    def _gh_encode_values(vals: np.ndarray) -> bytes:
+        """group_encoder for forced 'group_huffman' replay (pagecodec)."""
+        from .codecs.kernels import encode_group_huffman
+
+        ctx = _gh_ctx()
+        if ctx["blob"] is None:
+            raise ValueError(
+                "lineage records group_huffman but the group dictionary "
+                "cannot be re-derived (content/config drift)"
+            )
+        su = ctx["su"]
+        pos = np.searchsorted(su, vals)
+        pos[pos >= len(su)] = 0
+        if not bool(np.all(su[pos] == vals)):
+            raise ValueError("group_huffman replay: page values not in dictionary")
+        return encode_group_huffman(pos, ctx["gd"], ctx["gd"].crc)
+
     # span-keyed encode memo — the longest-match-cache analog (reference
     # src/zopfli/cache.c:29-133): squeeze proposals, the merge pass, and
     # mode-grid strategies repeatedly request identical (r0, r1) spans;
@@ -356,6 +552,7 @@ def _encode_group(
             try_huffman=config.try_huffman,
             huffman_headroom=1.0 if dial else config.huffman_headroom,
             allowed=allowed_tags,
+            group_encoder=_gh_encode_values,
         )
 
     pages = [
@@ -584,6 +781,44 @@ def _encode_group(
             pages = new_pages
             if not improved_any:
                 break
+    # --- group-level shared Huffman dictionary pass (config.group_dict) ----
+    # Runs LAST (bounds are final; adoption only swaps payloads) — the
+    # EncodeTree header-amortization idea across pages (reference
+    # src/zopfli/deflate.c:118-293,299-363). Keep-if-smaller on EXACT bytes:
+    # per page the candidate's exact size is known before emission
+    # (group_huffman_size), and the group adopts only if total savings beat
+    # the dictionary row itself. Replay path: forced 'group_huffman' codecs
+    # re-derive the dictionary via _gh_ctx (content-pure training rule).
+    gd_row_payload: bytes | None = None
+    if config.group_dict and forced_codecs is None:
+        ctx = _gh_ctx()
+        if ctx["blob"] is not None:
+            from .codecs.kernels import encode_group_huffman, group_huffman_size
+
+            gd, su = ctx["gd"], ctx["su"]
+            pos_all = np.searchsorted(su, values)
+            pos_all[pos_all >= len(su)] = 0
+            hit = su[pos_all] == values
+            adopted: list[tuple[int, int, int]] = []
+            total_save = 0
+            for k in range(len(pages)):
+                v0 = int(val_offsets[row_bounds[k]])
+                v1 = int(val_offsets[row_bounds[k + 1]])
+                if v1 <= v0 or not bool(hit[v0:v1].all()):
+                    continue
+                cand_sz = group_huffman_size(gd.lengths[pos_all[v0:v1]])
+                if cand_sz < len(pages[k][1]):
+                    adopted.append((k, v0, v1))
+                    total_save += len(pages[k][1]) - cand_sz
+            if adopted and total_save > len(ctx["blob"]) + _GH_ROW_OVERHEAD:
+                for k, v0, v1 in adopted:
+                    payload = encode_group_huffman(pos_all[v0:v1], gd, gd.crc)
+                    h, _p, _c, crc = pages[k]
+                    pages[k] = (h, payload, "group_huffman", crc)
+                gd_row_payload = ctx["blob"]
+    elif config.group_dict and forced_codecs is not None:
+        if any(c == "group_huffman" for c in forced_codecs):
+            gd_row_payload = _gh_ctx()["blob"]
     enc_us_total = int((time.perf_counter() - t_enc0) * 1e6)
     # process_time: actual CPU consumed by this worker — immune to
     # descheduling, so (enc_us - enc_cpu_us) isolates scheduler/host
@@ -591,6 +826,32 @@ def _encode_group(
     enc_cpu_us_total = int((time.process_time() - t_cpu0) * 1e6)
     total_values = max(int(val_offsets[-1]), 1)
     cols: dict[str, list] = {f.name: [] for f in _PAGES_ARROW}
+    if gd_row_payload is not None:
+        # the shared-dictionary row: page_id -1 sorts FIRST under the stable
+        # (part_id, page_id) ordering the store writes, so it streams ahead
+        # of its pages at decode — the dictionary-page-before-data-pages
+        # layout of columnar formats. Empty header marks it; n_rows/n_values/
+        # raw_bytes 0 keep every inventory aggregate unchanged while
+        # enc_bytes charges the dictionary exactly once per group.
+        import zlib as _zlib
+
+        cols["part_id"].append(part_id)
+        cols["page_id"].append(-1)
+        cols["codec"].append("group_dict_store")
+        cols["n_rows"].append(0)
+        cols["n_values"].append(0)
+        cols["first_doc_id"].append("")
+        cols["last_doc_id"].append("")
+        cols["raw_bytes"].append(0)
+        cols["enc_bytes"].append(len(gd_row_payload))
+        cols["checksum"].append(_zlib.crc32(gd_row_payload))
+        cols["enc_us"].append(0)
+        cols["enc_cpu_us"].append(0)
+        cols["content_key"].append(content_key)
+        cols["content_hash_group"].append(content_hash)
+        cols["resumed"].append(1 if forced_codecs else (2 if hinted else 0))
+        cols["header"].append(b"")
+        cols["payload"].append(gd_row_payload)
     for page_id, (header, payload, codec, checksum) in enumerate(pages):
         r0, r1 = int(row_bounds[page_id]), int(row_bounds[page_id + 1])
         v0, v1 = int(val_offsets[r0]), int(val_offsets[r1])
@@ -741,6 +1002,18 @@ def decode_table(
                 schema=_DECODED_ARROW,
             )
 
+        # group-dictionary streaming state: a dict row (empty header, page_id
+        # -1) precedes its group's pages within every partition — emission
+        # order from encode_table, (part_id, page_id) sortWithinPartitions in
+        # the store, and parquet's in-file row order all preserve this, and
+        # coalesce() concatenates source partitions without reordering.
+        # Store files are written as ONE parquet row group (store.write_pages)
+        # and row groups are Spark's scan-split atom, so a scan can never
+        # split a group away from its dictionary at any file size. A
+        # group_huffman page whose dictionary is absent or crc-mismatched
+        # raises loudly (decode_page) — e.g. after an arbitrary repartition;
+        # keep pages grouped by part_id with page_id order intact.
+        cur_gd = None
         for b in batches:
             headers = b.column(b.schema.get_field_index("header"))
             payloads = b.column(b.schema.get_field_index("payload"))
@@ -748,11 +1021,23 @@ def decode_table(
             docs_l, srcs_l, lens_l, vals_l = [], [], [], []
             acc_values = 0
             for header, payload, checksum in zip(headers, payloads, checksums):
+                hdr = header.as_py()
+                if len(hdr) == 0:
+                    import zlib as _zlib
+
+                    from .codecs.kernels import GroupDict
+
+                    blob = payload.as_py()
+                    if verify and _zlib.crc32(blob) != int(checksum.as_py()):
+                        raise ValueError("group dictionary row checksum mismatch")
+                    cur_gd = GroupDict(blob)
+                    continue
                 doc_ids, sources, lens, values = decode_page(
-                    header.as_py(),
+                    hdr,
                     payload.as_py(),
                     int(checksum.as_py()) if verify else None,
                     split_rows=False,
+                    group_dict=cur_gd,
                 )
                 docs_l.append(doc_ids)
                 srcs_l.append(sources)

@@ -59,7 +59,10 @@ def parse_plan(plan: str) -> list[tuple[int, str]]:
 
 def lineage_from_pages(pages: DataFrame, mode: int) -> DataFrame:
     """Derive lineage rows from an encoded-pages DataFrame (one per group)."""
-    per_page = pages.select(
+    per_page = pages.filter(F.col("page_id") >= 0).select(
+        # page_id -1 = the group-dictionary row (group_dict configs): derived
+        # state, re-built deterministically on replay from the recorded page
+        # codecs — recording it would corrupt the plan's n_rows cumsum
         "content_key",
         "content_hash_group",
         "page_id",
@@ -138,7 +141,10 @@ def split_hints_from_pages(pages: DataFrame) -> DataFrame:
     )
     boundaries = F.slice(prefix, 1, F.greatest(F.size(nrows) - 1, F.lit(0)))
     return (
-        pages.groupBy(
+        # page_id -1 (group-dictionary rows) would inject a spurious 0
+        # boundary the hint-validation gate then rejects wholesale
+        pages.filter(F.col("page_id") >= 0)
+        .groupBy(
             "content_key", F.col("content_hash_group").alias("content_hash")
         )
         .agg(F.to_json(boundaries).alias("boundaries"))

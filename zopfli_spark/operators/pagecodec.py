@@ -79,12 +79,16 @@ def encode_page(
     try_huffman: bool = True,
     huffman_headroom: float = 0.8,
     allowed: frozenset | None = None,
+    group_encoder=None,
 ) -> tuple[bytes, bytes, str, int]:
     """→ (header, payload, codec_name, checksum). ``doc_ids``/``sources``
     may be pa.StringArray (hot path, buffer-native) or object arrays.
     ``forced_codec`` is the lineage resume fast path (skip the argmin,
     reproduce recorded winner); ``level_tag`` pins non-default zlib levels
-    into the codec name so resume reproduces recompressed pages exactly."""
+    into the codec name so resume reproduces recompressed pages exactly.
+    ``group_encoder``: callable(values) → group_huffman payload, supplied by
+    the engine when replaying a recorded ``group_huffman`` winner (the
+    shared dictionary is group state encode_forced cannot rebuild alone)."""
     lens_blob = encode_simple(np.asarray(lens, dtype=np.int64))
     docid_blob = encode_strings(doc_ids)
     source_blob = encode_strings(sources)
@@ -96,7 +100,12 @@ def encode_page(
         + docid_blob
         + source_blob
     )
-    if forced_codec is not None:
+    if forced_codec == "group_huffman":
+        if group_encoder is None:
+            raise ValueError("group_huffman replay needs the engine's group_encoder")
+        payload = group_encoder(values)
+        name = forced_codec
+    elif forced_codec is not None:
         payload = encode_forced(
             values, forced_codec, zlib_level=zlib_level, plane_strategy=plane_strategy
         )
@@ -127,13 +136,20 @@ def encode_page(
 
 
 def decode_page(
-    header: bytes, payload: bytes, checksum: int | None = None, split_rows: bool = True
+    header: bytes,
+    payload: bytes,
+    checksum: int | None = None,
+    split_rows: bool = True,
+    group_dict=None,
 ):
     """→ (doc_ids, sources, lens, tokens); verifies checksum if given.
 
     ``doc_ids``/``sources`` are pa.StringArray (flat utf-8 buffers — no
     per-row boxing anywhere on the decode path). ``tokens`` is a list of
-    per-row arrays when ``split_rows`` else the flat value array."""
+    per-row arrays when ``split_rows`` else the flat value array.
+    ``group_dict``: the group's parsed :class:`~..codecs.kernels.GroupDict`,
+    required for ``group_huffman`` payloads (decode_table threads it from
+    the group's dict row, which streams ahead of its pages)."""
     (n_rows,) = _U32.unpack(header[:4])
     off = 4
     (lb_len,) = _U32.unpack(header[off : off + 4])
@@ -144,7 +160,18 @@ def decode_page(
     off += 4 + db_len
     sources = decode_strings(header[off:], n_rows)
     n_values = int(lens.sum())
-    values = decode_blob(payload, n_values).astype(np.int32)
+    from ..codecs.kernels import GROUP_HUFFMAN, decode_group_huffman
+
+    if payload and payload[0] == GROUP_HUFFMAN:
+        if group_dict is None:
+            raise ValueError(
+                "page payload is group_huffman but no group dictionary was "
+                "supplied — decode via decode_table (which streams the "
+                "group's dict row) or pass group_dict explicitly"
+            )
+        values = decode_group_huffman(payload, n_values, group_dict).astype(np.int32)
+    else:
+        values = decode_blob(payload, n_values).astype(np.int32)
     if checksum is not None:
         actual = page_checksum(doc_ids, sources, lens, values)
         if actual != checksum:
