@@ -112,6 +112,36 @@ def test_lineage_compaction_keeps_rows_flat_and_resume_green(spark, root):
     assert kept == counts[-1]
 
 
+def test_metrics_compaction_bounds_rows_and_files(spark, root):
+    """Metrics lifecycle (VERDICT r4 missing #3): N runs append forever;
+    gc --compact-metrics dedups and --keep-runs retains only the newest
+    run_ids, bounding both row and file count across runs."""
+    from zopfli_spark.sources.store import compact_metrics, store_partition_count
+
+    cfg = EngineConfig(**CFG_KW)
+    df = synth_tokens_df(spark, 200, seed=13).cache()
+    for i in range(4):
+        encode_to_store(df, root, cfg, run_id=f"run{i}")
+    metrics_path = os.path.join(root, "metrics")
+    files_before = store_partition_count(root, "metrics")
+    rows_before = spark.read.parquet(metrics_path).count()
+    # dedup-only pass: deterministic re-runs differ only in run_id, so rows
+    # survive, but the file count collapses
+    kept = compact_metrics(root, spark)
+    assert kept == rows_before
+    assert store_partition_count(root, "metrics") < files_before
+    # retention: keep the 2 most recent runs (by append timestamp)
+    kept2 = compact_metrics(root, spark, keep_runs=2)
+    runs = {
+        r["run_id"]
+        for r in spark.read.parquet(metrics_path).select("run_id").distinct().collect()
+    }
+    assert runs == {"run2", "run3"}, runs
+    assert kept2 == spark.read.parquet(metrics_path).count()
+    # empty/missing dir reports -1, never raises
+    assert compact_metrics(str(root) + "_nope", spark) == -1
+
+
 def test_expire_spares_inflight_dirs_orphans_age_gated(spark, root):
     """ADVICE r3 medium: expire must only delete dirs the dropped manifests
     referenced — a data dir with no manifest yet may be a commit in flight."""

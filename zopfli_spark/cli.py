@@ -145,7 +145,12 @@ def cmd_gc(args) -> int:
     compaction — the lifecycle surface an always-on deployment schedules
     (Iceberg expire_snapshots / remove_orphan_files + the StatsDB's
     one-record-per-key bound, reference src/zopfli/deflate.c:1164-1272)."""
-    from .sources.store import compact_lineage, expire_snapshots, remove_orphan_files
+    from .sources.store import (
+        compact_lineage,
+        compact_metrics,
+        expire_snapshots,
+        remove_orphan_files,
+    )
 
     out: dict = {"root": args.store}
     if args.keep_snapshots is not None:
@@ -155,9 +160,13 @@ def cmd_gc(args) -> int:
             args.store, older_than_s=args.orphan_age_hours * 3600.0
         )
     if args.compact_lineage:
-        # the only gc operation that needs a SparkSession — start it lazily
+        # lineage/metrics compaction need a SparkSession — started lazily
         # so pure-filesystem maintenance never pays JVM startup
         out["lineage_rows"] = compact_lineage(args.store, _spark(args))
+    if args.compact_metrics:
+        out["metrics_rows"] = compact_metrics(
+            args.store, _spark(args), keep_runs=args.keep_runs
+        )
     print(json.dumps(out))
     return 0
 
@@ -230,6 +239,11 @@ def main(argv: list[str] | None = None) -> int:
                     help="only remove orphan dirs untouched this long")
     gc.add_argument("--compact-lineage", action="store_true",
                     help="rewrite lineage to one row per live (key, mode)")
+    gc.add_argument("--compact-metrics", action="store_true",
+                    help="dedup + rewrite the metrics log into few files")
+    gc.add_argument("--keep-runs", type=int, default=None,
+                    help="with --compact-metrics: retain only the N most "
+                         "recent run_ids (by append timestamp)")
 
     sub.add_parser("package-zip", help="print path of a --py-files zip")
 
