@@ -285,3 +285,136 @@ def test_decode_blob_bounded_on_corrupt_input():
             except ok_exceptions:
                 continue
             assert isinstance(out, np.ndarray) and len(out) == nn
+
+
+# --- per-tag crafted-blob guards (VERDICT r4 next #7) ----------------------
+#
+# The random fuzz above accepts "wrong values, right length" (the page CRC
+# catches those later); these DETERMINISTIC crafts must raise a clean
+# exception BEFORE any large allocation or silent-garbage return — one case
+# per codec tag.
+
+
+def _u32(x):
+    return int(x).to_bytes(4, "little")
+
+
+def _i64(x):
+    return int(x).to_bytes(8, "little", signed=True)
+
+
+def _craft_plain_truncated():
+    v = np.arange(100, dtype=np.int64)
+    return kernels.encode_forced(v, "plain")[:-3], 100
+
+
+def _craft_constant_truncated():
+    return bytes([kernels.CONSTANT]) + b"\x01\x02\x03", 10
+
+
+def _craft_bitpack_width_gt64():
+    return bytes([kernels.BITPACK, 200]) + b"\x00" * 64, 10
+
+
+def _craft_for_bitpack_truncated():
+    v = np.arange(500, 600, dtype=np.int64)
+    blob = kernels.encode_forced(v, "for_bitpack")
+    return blob[: len(blob) - 4], 100
+
+
+def _craft_delta_width_bad():
+    return bytes([kernels.DELTA]) + _i64(7) + bytes([99]) + b"\x00" * 32, 20
+
+
+def _craft_rle_lengths_short():
+    vals = kernels.encode_simple(np.array([1, 2], dtype=np.int64))
+    lens = kernels.encode_simple(np.array([3, 4], dtype=np.int64))
+    body = _u32(2) + _u32(len(vals)) + vals + lens
+    return bytes([kernels.RLE]) + body, 10  # 3+4 != 10
+
+
+def _craft_dict_negative_index():
+    dvals = kernels.encode_simple(np.array([10, 20], dtype=np.int64))
+    idx = kernels.encode_simple(np.array([0, -1, 1, 0], dtype=np.int64))
+    return bytes([kernels.DICT]) + _u32(2) + _u32(len(dvals)) + dvals + idx, 4
+
+
+def _craft_zlib_garbage():
+    return bytes([kernels.ZLIB]) + b"definitely not a zlib stream", 5
+
+
+def _craft_for_zlib_truncated():
+    v = (np.arange(400, dtype=np.int64) * 7919) % 1000
+    blob = kernels.encode_forced(v, "for_zlib")
+    return blob[: len(blob) - 6], 400
+
+
+def _craft_plane_zlib_wrong_plane_len():
+    import zlib as _z
+
+    # plane decompresses to 3 bytes but n=10 → vectorized OR must raise
+    plane = _z.compress(b"\x01\x02\x03")
+    body = _i64(0) + bytes([1]) + _u32(len(plane)) + plane
+    return bytes([kernels.PLANE_ZLIB]) + body, 10
+
+
+def _craft_huffman_truncated_offsets():
+    rng = np.random.default_rng(4)
+    v = (rng.zipf(1.3, 4000) % 3000).astype(np.int64)
+    blob = kernels.encode_forced(v, "huffman")
+    # walk the layout to the offsets blob and truncate INSIDE it
+    body = memoryview(blob)[1:]
+    (card,) = np.frombuffer(body[:4], "<u4")
+    (db_len,) = np.frombuffer(body[4:8], "<u4")
+    off = 8 + int(db_len) + 1
+    (lt_len,) = np.frombuffer(body[off : off + 4], "<u4")
+    off += 4 + int(lt_len) + 2
+    (ob_len,) = np.frombuffer(body[off : off + 4], "<u4")
+    assert ob_len > 2
+    return blob[: 1 + off + 4 + int(ob_len) // 2], 4000
+
+
+def _craft_dict_shift_index_oob():
+    dvals = kernels.encode_simple(np.array([1, 5], dtype=np.int64))
+    idx = kernels.encode_simple(np.array([0, 3, 1, 0], dtype=np.int64))  # 3 >= cardq
+    packed = bitio.pack_bits(np.zeros(4, dtype=np.uint64), 2)
+    body = (
+        bytes([2]) + _u32(2) + _u32(len(dvals)) + dvals + _u32(len(idx)) + idx + packed
+    )
+    return bytes([kernels.DICT_SHIFT]) + body, 4
+
+
+def _craft_group_huffman_bare():
+    return bytes([kernels.GROUP_HUFFMAN]) + _u32(0) + b"\x00" * 16, 10
+
+
+def _craft_group_dict_store_bare():
+    return bytes([kernels.GROUP_DICT_STORE]) + _u32(2) + b"\x00" * 16, 10
+
+
+_CRAFTS = {
+    "plain_truncated": _craft_plain_truncated,
+    "constant_truncated": _craft_constant_truncated,
+    "bitpack_width_gt64": _craft_bitpack_width_gt64,
+    "for_bitpack_truncated": _craft_for_bitpack_truncated,
+    "delta_width_bad": _craft_delta_width_bad,
+    "rle_lengths_short": _craft_rle_lengths_short,
+    "dict_negative_index": _craft_dict_negative_index,
+    "zlib_garbage": _craft_zlib_garbage,
+    "for_zlib_truncated": _craft_for_zlib_truncated,
+    "plane_zlib_wrong_plane_len": _craft_plane_zlib_wrong_plane_len,
+    "huffman_truncated_offsets": _craft_huffman_truncated_offsets,
+    "dict_shift_index_oob": _craft_dict_shift_index_oob,
+    "group_huffman_bare": _craft_group_huffman_bare,
+    "group_dict_store_bare": _craft_group_dict_store_bare,
+}
+
+
+@pytest.mark.parametrize("name", sorted(_CRAFTS))
+def test_crafted_corrupt_blob_raises_cleanly(name):
+    import struct as _struct
+    import zlib as _z
+
+    blob, n = _CRAFTS[name]()
+    with pytest.raises((ValueError, _struct.error, _z.error)):
+        kernels.decode_blob(blob, n)
