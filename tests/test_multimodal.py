@@ -69,6 +69,73 @@ def test_fake_decode_is_deterministic():
     assert not np.array_equal(a, c)
 
 
+def test_resolve_decoders_modes():
+    """Adapter layer (r5): 'stub' always returns the fakes; 'auto' falls
+    back per-kind to the stub when the real lib is absent (this container
+    has none) and swaps in the real codec when importable."""
+    from zopfli_spark.functions import multimodal as mm
+
+    stub = mm.resolve_decoders("stub")
+    assert stub["image"] is mm.fake_decode_rgb
+    assert stub["video"] is mm.fake_decode_rgb
+    auto = mm.resolve_decoders("auto")
+    try:
+        import PIL  # noqa: F401
+
+        assert auto["image"] is not mm.fake_decode_rgb
+    except ImportError:
+        assert auto["image"] is mm.fake_decode_rgb
+    try:
+        import av  # noqa: F401
+
+        assert auto["video"] is not mm.fake_decode_rgb
+    except ImportError:
+        assert auto["video"] is mm.fake_decode_rgb
+    with pytest.raises(ValueError, match="decoder mode"):
+        mm.resolve_decoders("real")
+
+
+def test_extract_features_uses_injected_decoder(spark):
+    """An explicit {kind: callable} dict reaches the executor-side dispatch
+    — the swap-in contract real deployments use, testable without any media
+    lib: the injected decoder returns constant white frames, so mean_luma
+    is exactly 255 - epsilon-free."""
+
+    def white(payload, w, h, n_frames=1):
+        return np.full((max(n_frames, 1), h, w, 3), 255, dtype=np.uint8)
+
+    media = synth_media_df(spark, 6, seed=5)
+    feats = extract_features(
+        media, out_w=8, out_h=8, decoders={"image": white, "video": white}
+    ).toPandas()
+    assert len(feats) == 6
+    assert np.allclose(feats.mean_luma, 255.0, atol=0.2)
+
+
+def test_pillow_decodes_real_png(spark):
+    """Real-codec path end-to-end when Pillow exists (skips otherwise):
+    a generated 2-color PNG must decode to its actual pixels, not the
+    BLAKE2-seeded fake."""
+    PIL = pytest.importorskip("PIL")  # noqa: F841
+    import io
+
+    from PIL import Image
+
+    img = Image.new("RGB", (8, 4))
+    px = img.load()
+    for x in range(8):
+        for y in range(4):
+            px[x, y] = (255, 255, 255) if x < 4 else (0, 0, 0)
+    buf = io.BytesIO()
+    img.save(buf, format="PNG")
+    media = spark.createDataFrame(
+        [("p1", "image", buf.getvalue(), 8, 4, 1, 0)],
+        "media_id string, kind string, payload binary, width int, height int, n_frames int, sample_rate int",
+    )
+    r = extract_features(media, out_w=8, out_h=4, decoders="auto").first()
+    assert abs(r["mean_luma"] - 127.5) < 1.0  # half white, half black
+
+
 def test_winnow_fingerprints_detect_duplication(spark):
     docs = spark.createDataFrame(
         [
