@@ -55,12 +55,16 @@ def _mk_spark(cores: int, shuffle_partitions: int | None = None):
         .appName(f"zopfli_spark_bench_{cores}")
         # executor tuning: above 16 cores, run python workers at task.cpus=2
         # so worker count + the JVM's own threads (~7 cores of shuffle/Arrow
-        # feed) match physical capacity — the cores-per-executor knob every
+        # feed) match the CPU budget — the cores-per-executor knob every
         # real deployment sets. Measured on this host: 32 workers on 32
-        # vCPUs inverts (3.1 Mtok/s) vs 16 workers (10.4 Mtok/s). 16 workers
-        # on local[16] still fit under the ~24 effective cores, so the knob
-        # only engages strictly above 16.
-        .config("spark.task.cpus", "2" if cores > 16 else "1")
+        # vCPUs inverts (3.1 Mtok/s) vs 16 workers (10.4 Mtok/s). Engaging
+        # AT 16 was A/B'd for the r4 4→16 regression and lost badly (8
+        # workers idle half the pin: eff 0.43) — the fix that measured out
+        # is pin HEADROOM, not fewer workers (see _scaling_visit).
+        .config(
+            "spark.task.cpus",
+            "2" if cores > int(os.environ.get("SPARK_GRAFT_TASK_CPUS_AT", "16")) else "1",
+        )
         # shuffle compression ON (lz4): measured at the 225M-token scaling
         # size it helps BOTH sides of every pair (4c: 14.6→13.2 s, 16c:
         # 7.6→5.2 s on the 56M probe) — the byte volume through the shuffle
@@ -192,16 +196,25 @@ def _scaling_visit(cores: int, input_path: str, total_tokens: int, n_docs: int, 
         sys.executable, os.path.abspath(__file__), "--scaling-worker",
         str(cores), input_path, str(total_tokens), str(n_docs), "32", str(n_runs),
     ]
-    # pin the whole worker tree (JVM + python workers) to exactly `cores`
-    # host CPUs: local[N] bounds the TASK slots but not the JVM's
-    # shuffle/GC/IO threads, so an unpinned lo side borrows free host cores
-    # a real N-core executor would never have — inflating lo throughput and
-    # depressing measured efficiency. Pinning emulates the per-executor
-    # core limit every real cluster enforces (and stops cross-core thread
-    # migration). Measured on this guest, clean windows: unpinned 2→8 reads
-    # 0.78 (lo flattered), pinned reads 0.92 with BOTH sides' cpu/s equal.
+    # pin the whole worker tree (JVM + python workers) to cores + 2 host
+    # CPUs: local[N] bounds the TASK slots but not the JVM's shuffle/GC/IO
+    # threads, so an unpinned lo side borrows free host cores a real N-core
+    # executor would never have — inflating lo throughput and depressing
+    # measured efficiency; while an EXACTLY-N pin makes the JVM's feed
+    # threads evict the very python workers they feed (r4's 4→16 record:
+    # cpu_efficiency 0.824 under exact pinning vs 0.97 for a Spark-free
+    # 16-process burn on the same pin — the gap was the harness, VERDICT r4
+    # wrong #2). +2 is the executor-overhead cushion every real deployment
+    # provisions (k8s/YARN memoryOverhead's CPU twin); granting the same
+    # ABSOLUTE headroom to both sides gives the lo side proportionally MORE,
+    # which biases measured efficiency DOWN — conservative. A/B on this
+    # guest (224M-token input, task.cpus variants included): exact pin 4→16
+    # 0.72/cpu 0.84, task.cpus=2@16 0.43, +2 headroom 0.86/cpu 0.99;
+    # 2→8 under +2: 0.98/cpu 1.03.
     if shutil.which("taskset"):
-        cmd = ["taskset", "-c", f"0-{cores - 1}", *cmd]
+        extra = int(os.environ.get("SPARK_GRAFT_PIN_EXTRA", "2"))
+        ncpu = min(cores + extra, os.cpu_count() or cores + extra)
+        cmd = ["taskset", "-c", f"0-{ncpu - 1}", *cmd]
     p = subprocess.run(
         cmd,
         capture_output=True,
@@ -286,9 +299,21 @@ def _run_scaling(
     eff = (best[hi]["tokens_per_sec"] / best[lo]["tokens_per_sec"]) / (hi / lo)
     cpu_lo = max(r["tokens_per_cpu_sec"] for r in res[lo])
     cpu_hi = max(r["tokens_per_cpu_sec"] for r in res[hi])
+    # the would-be efficiency at the PRE-DECLARED base visit count alone
+    # (VERDICT r4 wrong #3: adaptive extras may only help the final number;
+    # reporting the base-visit result alongside makes the retry effect
+    # itself auditable in the artifact)
+    base_best = {c: min(rs[:visits], key=lambda r: r["wall"]) for c, rs in res.items()}
+    eff_base = (
+        base_best[hi]["tokens_per_sec"] / base_best[lo]["tokens_per_sec"]
+    ) / (hi / lo)
     return {
         "cores_lo": lo,
         "cores_hi": hi,
+        "base_visits": visits,
+        "adaptive_extra_max": adaptive_extra,
+        "visits_taken": len(res[lo]),
+        "efficiency_base_visits": eff_base,
         # workers taskset-pinned to exactly N CPUs (per-executor core limit)
         "pinned": bool(shutil.which("taskset")),
         "tokens_per_sec_lo": best[lo]["tokens_per_sec"],
@@ -481,14 +506,19 @@ def main() -> None:
     deadline = t_wall0 + budget_s
     try:
         # canonical north-rule gate pair, pre-declared: 2→8 (hi side well
-        # under this guest's ~24 effective cores). Interleaved, best-of,
-        # one extra visit: the gate pair gets the most noise immunity.
+        # under this guest's ~24 effective cores). Visit counts are
+        # PRE-DECLARED constants (BENCH.md): 2 base visits + ≤2 evidence-
+        # triggered extras per pair — r4's 4 gate extras consumed the budget
+        # the supporting pairs needed (VERDICT r4 missing #1), and the
+        # artifact now carries efficiency_base_visits so the retry effect is
+        # auditable. The gate deadline reserves room for BOTH supporting
+        # pairs (mid needs ~2 visits ≈ 400 s, hi one ≈ 200 s).
         scaling = _pair_or_error(
             scale_path, scale_tokens, scale_docs, 2, 8,
-            visits=2, runs_per_visit=1, adaptive_extra=4, deadline=deadline - 600,
+            visits=2, runs_per_visit=1, adaptive_extra=2, deadline=deadline - 900,
         )
         # second sub-capacity pair, sampled IDENTICALLY (supporting evidence)
-        if time.time() < deadline - 450:
+        if time.time() < deadline - 600:
             scaling_mid = _pair_or_error(
                 scale_path, scale_tokens, scale_docs, 4, 16,
                 visits=2, runs_per_visit=1, adaptive_extra=2, deadline=deadline - 250,
@@ -496,14 +526,20 @@ def main() -> None:
         else:
             scaling_mid = {"skipped": "bench budget", "efficiency": 0.0, "cpu_efficiency": 0.0}
         # above-capacity pair: reported for completeness; its hi side exceeds
-        # physical capacity on this sandbox (see BENCH.md burn-test control)
+        # physical capacity on this sandbox (see BENCH.md burn-test control:
+        # a Spark-free 32-process burn reads 0.73 on this guest)
         if time.time() < deadline - 200:
             scaling_hi = _pair_or_error(
                 scale_path, scale_tokens, scale_docs, 8, min(cpus, 32),
                 visits=1, runs_per_visit=2,
             )
         else:
-            scaling_hi = {"skipped": "bench budget", "efficiency": 0.0, "cpu_efficiency": 0.0}
+            budget_left = round(deadline - time.time())
+            scaling_hi = {
+                "skipped": f"bench budget: {budget_left}s left < 200s floor for one 8/32 visit",
+                "efficiency": 0.0,
+                "cpu_efficiency": 0.0,
+            }
     finally:
         shutil.rmtree(scale_dir, ignore_errors=True)
 
