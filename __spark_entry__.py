@@ -169,12 +169,31 @@ def q_roundtrip_groupdict(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Group-level shared Huffman dictionary + content-clustered doc order
     through the full correctness gate (r5: the EncodeTree header-
     amortization idea across pages, reference src/zopfli/deflate.c:118-293).
-    The shared dictionary changes page payloads and row order, never decoded
-    bytes — same oracle as roundtrip_lineitem."""
+
+    Tokens are a harmonic transform of lineitem partkeys
+    (``65536 div (1 + pk % 512)`` — integer-exact in both engines): the
+    resulting ~1/v² frequency histogram is entropy-bound with cardinality
+    in shared-dictionary territory, so at sf0.01 every regular group
+    actually adopts (group_dict_store + group_huffman pages on disk), and
+    the decoded aggregates must still match DuckDB exactly. The shared
+    dictionary changes page payloads and row order, never decoded bytes."""
     import dataclasses
 
+    li = _read(spark, sf_dir, "lineitem")
+    docs = (
+        li.groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_list(F.col("l_partkey").cast("int"))).alias("t0"))
+        .select(
+            F.format_string("doc_%09d", F.col("l_orderkey")).alias("doc_id"),
+            F.expr("transform(t0, x -> CAST(65536 div (1 + x % 512) AS INT))").alias(
+                "tokens"
+            ),
+        )
+        .withColumn("n_tok", F.size("tokens").cast("int"))
+        .withColumn("source", F.lit("lineitem"))
+    )
     cfg = dataclasses.replace(_cfg_for(sf_dir), group_dict=True, cluster_docs=True)
-    return _roundtrip_agg(_lineitem_docs(spark, sf_dir), cfg)
+    return _roundtrip_agg(docs, cfg)
 
 
 def q_pages_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -683,7 +702,7 @@ def oracle_sql() -> dict[str, str]:
         "roundtrip_groupdict": """
             SELECT printf('doc_%09d', l_orderkey) AS doc_id,
                    CAST(count(*) AS BIGINT) AS n_dec,
-                   CAST(sum(l_partkey) AS BIGINT) AS tok_sum
+                   CAST(sum(65536 // (1 + l_partkey % 512)) AS BIGINT) AS tok_sum
             FROM lineitem GROUP BY l_orderkey ORDER BY doc_id
         """,
         "metrics_topk": """

@@ -25,6 +25,7 @@ from zopfli_spark.codecs.kernels import (
     encode_group_dict,
     encode_group_huffman,
     group_huffman_size,
+    group_tokens,
 )
 from zopfli_spark.datagen import synth_tokens_df
 from zopfli_spark.lineage import lineage_from_pages, split_hints_from_pages
@@ -59,20 +60,39 @@ def test_group_dict_kernel_roundtrip_and_exact_size():
     vals, u, cts = _zipf_corpus()
     blob = encode_group_dict(u, cts)
     gd = GroupDict(blob)
-    pos = np.searchsorted(u, vals)
-    page = encode_group_huffman(pos, gd, gd.crc)
+    sym, esc = group_tokens(vals, gd)
+    assert len(esc) == 0  # dict trained on this exact corpus → full cover
+    page = encode_group_huffman(sym, esc, gd, gd.crc)
     # ZopfliCalculateBlockSize discipline: size computable before emission
-    assert len(page) == group_huffman_size(gd.lengths[pos])
+    assert len(page) == group_huffman_size(sym, esc, gd)
     out = decode_group_huffman(page, len(vals), gd)
     assert np.array_equal(out, vals)
     # entropy coding must actually beat 8-bit-ish plain storage on zipf
     assert len(page) < 4 * len(vals)
 
 
+def test_group_huffman_escape_roundtrip():
+    """Out-of-dict values ride the ESCAPE code + literal side stream — the
+    heavy-tail coverage mechanism (every zipf page carries fresh
+    singletons a subset-trained dictionary has never seen)."""
+    vals, u, cts = _zipf_corpus(60_000, seed=11)
+    gd = GroupDict(encode_group_dict(u, cts))
+    # inject values guaranteed out of dictionary
+    novel = vals.copy()
+    novel[::97] = 10_000_000 + np.arange(len(novel[::97]))
+    sym, esc = group_tokens(novel, gd)
+    assert len(esc) == len(novel[::97])
+    assert int(sym.max()) == len(gd.vals)  # ESC symbol used
+    page = encode_group_huffman(sym, esc, gd, gd.crc)
+    assert len(page) == group_huffman_size(sym, esc, gd)
+    out = decode_group_huffman(page, len(novel), gd)
+    assert np.array_equal(out, novel)
+
+
 def test_group_huffman_wrong_dict_raises():
     vals, u, cts = _zipf_corpus(20_000, seed=5)
     gd = GroupDict(encode_group_dict(u, cts))
-    page = encode_group_huffman(np.searchsorted(u, vals), gd, gd.crc)
+    page = encode_group_huffman(*group_tokens(vals, gd), gd, gd.crc)
     other = GroupDict(encode_group_dict(u, cts + 1))  # different lengths → crc
     assert other.crc != gd.crc
     with pytest.raises(ValueError, match="dictionary mismatch"):
@@ -85,7 +105,7 @@ def test_decode_blob_refuses_group_tags():
     with pytest.raises(ValueError, match="group dictionary store"):
         decode_blob(blob, len(u))
     gd = GroupDict(blob)
-    page = encode_group_huffman(np.searchsorted(u, vals), gd, gd.crc)
+    page = encode_group_huffman(*group_tokens(vals, gd), gd, gd.crc)
     with pytest.raises(ValueError, match="requires its group dictionary"):
         decode_blob(page, len(vals))
 
@@ -293,6 +313,24 @@ def test_groupdict_store_survives_scan_splitting(spark, tokens_df, gd_pages, tmp
 
     files = glob.glob(root + "/pages/part_id=*/*.parquet")
     assert files and all(pq.ParquetFile(f).num_row_groups == 1 for f in files)
+
+
+def test_groupdict_pairing_invariant_marginal_sizes(spark):
+    """The dict-row accounting (ship iff adopted savings beat the row,
+    else revert every adoption) must leave a consistent table at ANY
+    content size: group_huffman pages exist iff their group_dict_store row
+    does, and decode is exact either way. Small sizes sit near the
+    revert/adopt boundary on purpose."""
+    for n_docs in (30, 120, 600):
+        df = synth_tokens_df(spark, n_docs, seed=n_docs)
+        pages = encode_table(df, GD_CFG).cache()
+        p = pages.select("part_id", "codec").toPandas()
+        gh_parts = set(p.loc[p["codec"] == "group_huffman", "part_id"])
+        gd_parts = set(p.loc[p["codec"] == "group_dict_store", "part_id"])
+        assert gh_parts == gd_parts, (n_docs, gh_parts, gd_parts)
+        bad = roundtrip_check(df, decode_table(pages, GD_CFG))
+        assert bad.count() == 0, n_docs
+        pages.unpersist()
 
 
 def test_groupdict_determinism_across_parallelism(spark):

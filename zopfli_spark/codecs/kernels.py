@@ -36,14 +36,19 @@ Blob format (self-describing, recursive for composites)::
                    [u32 len(idx_blob)][idx_blob][packed low bits (n·shift)]
     GROUP_HUFFMAN 12: [u32 dict_crc][u16 miniblock K]
                    [u32 len(offsets_blob)][offsets_blob][u32 total_bits]
+                   [u32 n_esc][u32 len(esc_blob)][esc_blob]
                    [MSB-first canonical-Huffman bitstream]
                    — symbols/lengths live in the GROUP dictionary row
                    (GROUP_DICT_STORE) shared by every adopting page of the
-                   group; dict_crc pins the right one. NOT self-describing:
-                   decode needs the dict row (decode_page/decode_table
-                   thread it; bare decode_blob raises).
+                   group; dict_crc pins the right one. Symbol index card =
+                   ESCAPE: those tokens take their value from esc_blob in
+                   stream order (heavy-tail pages always carry a few
+                   out-of-dict singletons). NOT self-describing: decode
+                   needs the dict row (decode_page/decode_table thread it;
+                   bare decode_blob raises).
     GROUP_DICT_STORE 13: [u32 card][u8 maxbits][u32 len(dict_blob)]
-                   [dict_blob — sorted uniq values][len_tbl — nested blob]
+                   [dict_blob — sorted uniq values][len_tbl — nested blob of
+                   card+1 code lengths, last = ESCAPE]
                    — the shared dictionary payload, stored once per group in
                    a dedicated page row (page_id -1, empty header), before
                    its pages in (part_id, page_id) order — the
@@ -575,11 +580,19 @@ _GH_MAX_CARD = 1 << 17
 
 def encode_group_dict(uniq: np.ndarray, counts: np.ndarray, zlib_level: int = 6) -> bytes:
     """Build the GROUP_DICT_STORE payload: sorted uniq values + canonical
-    code lengths trained on ``counts``. Pure function of its inputs (and
-    zlib_level), so lineage replay reproduces the same bytes."""
+    code lengths trained on ``counts``, plus one ESCAPE symbol (index =
+    card) so pages whose values are not fully covered by the dictionary
+    can still adopt — out-of-dict tokens emit the escape code and ride a
+    per-page literal side stream (heavy-tail content makes full coverage
+    essentially impossible: every zipf page carries fresh singletons). The
+    escape weight is a fixed pseudo-count (~0.8% of training mass) so the
+    table is a pure function of its inputs and lineage replay reproduces
+    the same bytes."""
     if len(uniq) < 2 or len(uniq) > _GH_MAX_CARD:
         raise ValueError(f"group dict cardinality {len(uniq)} out of range")
-    lengths = np.asarray(package_merge(counts, _GH_MAXBITS), dtype=np.int64)
+    esc_w = max(1, int(counts.sum()) // 128)
+    hist = np.concatenate([np.asarray(counts, dtype=np.int64), [esc_w]])
+    lengths = np.asarray(package_merge(hist, _GH_MAXBITS), dtype=np.int64)
     dict_blob = encode_simple(_as_i64(uniq))
     len_tbl = encode_best(
         lengths, zlib_level=zlib_level, try_zlib=True, try_huffman=True,
@@ -614,7 +627,8 @@ class GroupDict:
             raise ValueError(f"group dict maxbits {self.maxlen} out of range")
         (db_len,) = _U32.unpack(body[5:9])
         self.vals = decode_blob(bytes(body[9 : 9 + db_len]), card)
-        self.lengths = decode_blob(bytes(body[9 + db_len :]), card)
+        # card + 1 code lengths: the last symbol is the ESCAPE
+        self.lengths = decode_blob(bytes(body[9 + db_len :]), card + 1)
         if int(self.lengths.min()) < 1 or int(self.lengths.max()) > self.maxlen:
             raise ValueError("group dict code lengths out of range")
         self.crc = zlib.crc32(blob)
@@ -634,25 +648,47 @@ class GroupDict:
         return self._codes
 
 
-def group_huffman_size(tok_len: np.ndarray) -> int:
-    """Exact GROUP_HUFFMAN page size for per-token code lengths — computable
-    before any emission (ZopfliCalculateBlockSize discipline)."""
+def group_tokens(vals: np.ndarray, gd: GroupDict) -> tuple[np.ndarray, np.ndarray]:
+    """→ (symbols, escaped values): dictionary positions for covered
+    tokens, the ESCAPE symbol (index = card) for the rest. Shared by the
+    exact-size pre-gate and the emitter so the argmin never tokenizes
+    twice."""
+    v = _as_i64(vals)
+    pos = np.searchsorted(gd.vals, v)
+    pos[pos >= len(gd.vals)] = 0
+    miss = gd.vals[pos] != v
+    sym = np.where(miss, len(gd.vals), pos)
+    return sym, v[miss]
+
+
+def group_huffman_size(sym: np.ndarray, esc_vals: np.ndarray, gd: GroupDict) -> int:
+    """Exact GROUP_HUFFMAN page size for a tokenized page — computable
+    before any bit emission (ZopfliCalculateBlockSize discipline)."""
+    tok_len = gd.lengths[sym]
     total_bits = int(tok_len.sum())
     starts = np.cumsum(tok_len) - tok_len
     off_blob = encode_simple(starts[::_HUFF_K])
-    return 1 + 4 + 2 + 4 + len(off_blob) + 4 + (total_bits + 7) // 8
+    esc_blob = encode_simple(esc_vals) if len(esc_vals) else b""
+    return (
+        1 + 4 + 2 + 4 + len(off_blob) + 4 + 4 + 4 + len(esc_blob)
+        + (total_bits + 7) // 8
+    )
 
 
-def encode_group_huffman(pos: np.ndarray, gd: GroupDict, dict_crc: int) -> bytes:
-    """Emit one page's GROUP_HUFFMAN payload: ``pos`` are indices into the
-    group dictionary (every page value must be present in it)."""
-    tok_len = gd.lengths[pos]
-    tok_code = gd.codes[pos]
-    offs = np.zeros(len(pos) + 1, dtype=np.int64)
+def encode_group_huffman(
+    sym: np.ndarray, esc_vals: np.ndarray, gd: GroupDict, dict_crc: int
+) -> bytes:
+    """Emit one page's GROUP_HUFFMAN payload from :func:`group_tokens`
+    output: canonical-Huffman bitstream over the shared table (escapes emit
+    the ESC code) + the escaped literals as a nested blob."""
+    tok_len = gd.lengths[sym]
+    tok_code = gd.codes[sym]
+    offs = np.zeros(len(sym) + 1, dtype=np.int64)
     np.cumsum(tok_len, out=offs[1:])
     total_bits = int(offs[-1])
     starts = offs[:-1]
     offsets_blob = encode_simple(starts[::_HUFF_K])
+    esc_blob = encode_simple(esc_vals) if len(esc_vals) else b""
     payload = _emit_bits(starts, tok_code, tok_len, total_bits)
     return (
         bytes([GROUP_HUFFMAN])
@@ -661,6 +697,9 @@ def encode_group_huffman(pos: np.ndarray, gd: GroupDict, dict_crc: int) -> bytes
         + _U32.pack(len(offsets_blob))
         + offsets_blob
         + _U32.pack(total_bits)
+        + _U32.pack(len(esc_vals))
+        + _U32.pack(len(esc_blob))
+        + esc_blob
         + payload
     )
 
@@ -683,8 +722,30 @@ def decode_group_huffman(buf: bytes, n: int, gd: GroupDict) -> np.ndarray:
     n_blocks = max(1, (n + K - 1) // K)
     block_offs = decode_blob(bytes(body[10 : 10 + ob_len]), n_blocks)
     off = 10 + ob_len + 4  # total_bits implicit in the stepping
+    (n_esc,) = _U32.unpack(body[off : off + 4])
+    (esc_len,) = _U32.unpack(body[off + 4 : off + 8])
+    off += 8
+    if n_esc > n:
+        raise ValueError(f"group_huffman escape count {n_esc} > n {n}")
+    esc_vals = (
+        decode_blob(bytes(body[off : off + esc_len]), n_esc)
+        if n_esc
+        else np.empty(0, dtype=np.int64)
+    )
+    off += esc_len
     syms = _huffman_steps(body[off:], block_offs, K, n, gd.lut, int(gd.maxlen))
-    return gd.vals[syms]
+    card = len(gd.vals)
+    esc_mask = syms >= card
+    n_esc_seen = int(esc_mask.sum())
+    if n_esc_seen != n_esc:
+        raise ValueError(
+            f"group_huffman escape mismatch: stream has {n_esc_seen}, "
+            f"header says {n_esc}"
+        )
+    out = np.empty(n, dtype=np.int64)
+    out[~esc_mask] = gd.vals[syms[~esc_mask]]
+    out[esc_mask] = esc_vals
+    return out
 
 
 def encode_forced(

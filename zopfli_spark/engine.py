@@ -166,6 +166,12 @@ def _achievable_bpv(
 # set — and therefore identical dictionary bytes — without re-running any
 # size comparison, VERDICT r4 next #2)
 _GH_MIN_TRAIN_SPAN = 4096  # spans below this are too noisy to train on
+_GH_TRAIN_WINDOW = 1 << 16  # fixed training-window size over the value
+#                             stream: training is a pure function of
+#                             (content, config) — independent of page
+#                             bounds, so the dictionary exists BEFORE the
+#                             split search and every stage can price the
+#                             group_huffman candidate in its argmin
 _GH_MIN_TRAIN_CARD = 257  # dict-header-bound territory starts past one byte
 _GH_ENTROPY_MARGIN = 0.92  # H0 must beat the analytic codec floor by ≥8%
 _GH_KL_MAX = 0.3  # drop training spans whose cross-entropy under the
@@ -366,13 +372,18 @@ def _encode_group(
 
     # --- group-level shared Huffman dictionary context (lazy) --------------
     # Training-set selection is CONTENT-PURE (no realized-size comparisons):
-    # spans where order-0 entropy beats every analytic codec floor by
+    # fixed _GH_TRAIN_WINDOW-value windows over the (clustered) value
+    # stream where order-0 entropy beats every analytic codec floor by
     # ≥(1-_GH_ENTROPY_MARGIN) and cardinality is dict-header-bound, refined
-    # by dropping spans whose cross-entropy under the pooled code exceeds
-    # their own H0 (distribution mismatch). Replay therefore re-derives the
-    # identical dictionary bytes from (content, config, recorded bounds)
-    # alone; WHICH pages adopted is recorded per page in the plan's codec
-    # names, so no adoption decision ever needs replaying.
+    # by dropping windows whose cross-entropy under the equal-weight pooled
+    # code exceeds their own H0 (distribution mismatch). Window training is
+    # independent of page bounds, so (a) replay re-derives the identical
+    # dictionary bytes from (content, config) alone, and (b) the dictionary
+    # exists before the split search — every search stage prices the
+    # group_huffman candidate in its argmin (see _encode_span), so a merge
+    # that would destroy an adoption-eligible span correctly loses. WHICH
+    # pages adopted is recorded per page in the plan's codec names, so no
+    # adoption decision ever needs replaying.
     _gh_state: dict = {}
 
     def _gh_ctx() -> dict:
@@ -387,8 +398,13 @@ def _encode_group(
         )
 
         train: list[tuple] = []
-        for k in range(len(row_bounds) - 1):
-            a, b = int(val_offsets[row_bounds[k]]), int(val_offsets[row_bounds[k + 1]])
+        n_total = int(val_offsets[-1])
+        # window tracks page granularity (adoption is per page) but stays
+        # capped: pure function of config, so replay derives the same set
+        win = max(_GH_MIN_TRAIN_SPAN, min(config.page_budget_values, _GH_TRAIN_WINDOW))
+        starts = list(range(0, n_total, win))
+        for k, a in enumerate(starts):
+            b = min(a + win, n_total)
             n_sp = b - a
             if n_sp < _GH_MIN_TRAIN_SPAN:
                 continue
@@ -475,12 +491,12 @@ def _encode_group(
         for u, cts, _h0, _k in train:
             pooled[np.searchsorted(allu, u)] += cts
         blob = encode_group_dict(allu, pooled, zlib_level=config.zlib_level)
-        _gh_state.update(blob=blob, gd=GroupDict(blob), su=allu)
+        _gh_state.update(blob=blob, gd=GroupDict(blob))
         return _gh_state
 
     def _gh_encode_values(vals: np.ndarray) -> bytes:
         """group_encoder for forced 'group_huffman' replay (pagecodec)."""
-        from .codecs.kernels import encode_group_huffman
+        from .codecs.kernels import encode_group_huffman, group_tokens
 
         ctx = _gh_ctx()
         if ctx["blob"] is None:
@@ -488,12 +504,8 @@ def _encode_group(
                 "lineage records group_huffman but the group dictionary "
                 "cannot be re-derived (content/config drift)"
             )
-        su = ctx["su"]
-        pos = np.searchsorted(su, vals)
-        pos[pos >= len(su)] = 0
-        if not bool(np.all(su[pos] == vals)):
-            raise ValueError("group_huffman replay: page values not in dictionary")
-        return encode_group_huffman(pos, ctx["gd"], ctx["gd"].crc)
+        sym, esc_vals = group_tokens(vals, ctx["gd"])
+        return encode_group_huffman(sym, esc_vals, ctx["gd"], ctx["gd"].crc)
 
     # span-keyed encode memo — the longest-match-cache analog (reference
     # src/zopfli/cache.c:29-133): squeeze proposals, the merge pass, and
@@ -504,6 +516,10 @@ def _encode_group(
     _memo: dict = {}
     _memo_bytes = [0]
     _MEMO_CAP = 256 << 20
+    # (r0, r1) → (losing payload, codec) for spans that adopted the group
+    # dictionary in the argmin — the exact-revert set for the final
+    # dict-row accounting (see _encode_span)
+    _gh_alts: dict = {}
 
     def encode_rows(
         r0: int,
@@ -538,7 +554,7 @@ def _encode_group(
         # encode_forced replays "plane_zlib@lvl" with strategy 'both', so a
         # dial winner reproduces byte-identically on lineage resume.
         v0, v1 = int(val_offsets[r0]), int(val_offsets[r1])
-        return encode_page(
+        page = encode_page(
             doc_ids[r0:r1],
             sources[r0:r1],
             lens[r0:r1],
@@ -554,6 +570,41 @@ def _encode_group(
             allowed=allowed_tags,
             group_encoder=_gh_encode_values,
         )
+        # group_huffman candidate IN the argmin (config.group_dict): the
+        # shared dictionary is fixed per group (window training, above), so
+        # every span encode — first pass, squeeze proposals, merge, mode
+        # grid, recompress — prices adoption on exact bytes. The losing
+        # per-page payload is stashed (smallest seen per span) so the final
+        # accounting can revert every adoption if the dict row itself does
+        # not pay for the group. The group payload for a span is flag-
+        # independent (same values → same positions → same bytes), so
+        # stashing min-over-flags alts keeps the revert exact.
+        if config.group_dict and forced is None and v1 > v0:
+            ctx = _gh_ctx()
+            if ctx["blob"] is not None:
+                from .codecs.kernels import (
+                    encode_group_huffman,
+                    group_huffman_size,
+                    group_tokens,
+                )
+
+                gd = ctx["gd"]
+                sym, esc_vals = group_tokens(values[v0:v1], gd)
+                # escape-heavy spans never win (each escape pays the ESC
+                # code plus a literal) — skip the exact sizing for them
+                if len(esc_vals) * 4 < (v1 - v0):
+                    cand_sz = group_huffman_size(sym, esc_vals, gd)
+                    if cand_sz < len(page[1]):
+                        prev = _gh_alts.get((r0, r1))
+                        if prev is None or len(page[1]) < len(prev[0]):
+                            _gh_alts[(r0, r1)] = (page[1], page[2])
+                        page = (
+                            page[0],
+                            encode_group_huffman(sym, esc_vals, gd, gd.crc),
+                            "group_huffman",
+                            page[3],
+                        )
+        return page
 
     pages = [
         encode_rows(
@@ -781,41 +832,41 @@ def _encode_group(
             pages = new_pages
             if not improved_any:
                 break
-    # --- group-level shared Huffman dictionary pass (config.group_dict) ----
-    # Runs LAST (bounds are final; adoption only swaps payloads) — the
-    # EncodeTree header-amortization idea across pages (reference
-    # src/zopfli/deflate.c:118-293,299-363). Keep-if-smaller on EXACT bytes:
-    # per page the candidate's exact size is known before emission
-    # (group_huffman_size), and the group adopts only if total savings beat
-    # the dictionary row itself. Replay path: forced 'group_huffman' codecs
-    # re-derive the dictionary via _gh_ctx (content-pure training rule).
+    # --- group-dictionary final accounting (config.group_dict) -------------
+    # Adoption itself happened inside the argmin (_encode_span), page by
+    # page on exact bytes — the EncodeTree header-amortization idea across
+    # pages (reference src/zopfli/deflate.c:118-293,299-363). Here only the
+    # group-level charge is settled: the dict row ships iff the adopted
+    # pages' total savings (vs their stashed runner-up payloads) beat the
+    # dict row itself; otherwise every adoption reverts to its exact
+    # runner-up. Replay path: forced 'group_huffman' codecs re-derive the
+    # dictionary via _gh_ctx (content-pure window training).
     gd_row_payload: bytes | None = None
     if config.group_dict and forced_codecs is None:
-        ctx = _gh_ctx()
-        if ctx["blob"] is not None:
-            from .codecs.kernels import encode_group_huffman, group_huffman_size
-
-            gd, su = ctx["gd"], ctx["su"]
-            pos_all = np.searchsorted(su, values)
-            pos_all[pos_all >= len(su)] = 0
-            hit = su[pos_all] == values
-            adopted: list[tuple[int, int, int]] = []
-            total_save = 0
-            for k in range(len(pages)):
-                v0 = int(val_offsets[row_bounds[k]])
-                v1 = int(val_offsets[row_bounds[k + 1]])
-                if v1 <= v0 or not bool(hit[v0:v1].all()):
-                    continue
-                cand_sz = group_huffman_size(gd.lengths[pos_all[v0:v1]])
-                if cand_sz < len(pages[k][1]):
-                    adopted.append((k, v0, v1))
-                    total_save += len(pages[k][1]) - cand_sz
-            if adopted and total_save > len(ctx["blob"]) + _GH_ROW_OVERHEAD:
-                for k, v0, v1 in adopted:
-                    payload = encode_group_huffman(pos_all[v0:v1], gd, gd.crc)
-                    h, _p, _c, crc = pages[k]
-                    pages[k] = (h, payload, "group_huffman", crc)
+        adopted = [k for k, pg in enumerate(pages) if pg[2] == "group_huffman"]
+        if adopted:
+            ctx = _gh_ctx()
+            alts = [
+                _gh_alts.get((int(row_bounds[k]), int(row_bounds[k + 1])))
+                for k in adopted
+            ]
+            total_save = sum(
+                len(alt[0]) - len(pages[k][1])
+                for k, alt in zip(adopted, alts)
+                if alt is not None
+            )
+            if (
+                all(alt is not None for alt in alts)
+                and ctx["blob"] is not None
+                and total_save > len(ctx["blob"]) + _GH_ROW_OVERHEAD
+            ):
                 gd_row_payload = ctx["blob"]
+            else:
+                for k, alt in zip(adopted, alts):
+                    if alt is None:  # defensive: never ship an orphan page
+                        raise ValueError("group_huffman page with no runner-up stash")
+                    h, _p, _c, crc = pages[k]
+                    pages[k] = (h, alt[0], alt[1], crc)
     elif config.group_dict and forced_codecs is not None:
         if any(c == "group_huffman" for c in forced_codecs):
             gd_row_payload = _gh_ctx()["blob"]
