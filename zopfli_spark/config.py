@@ -110,12 +110,14 @@ class EngineConfig:
     #: + equal-weight KL refinement + greedy cardinality cap, see
     #: engine._encode_group's _gh_ctx) so lineage replay reproduces the
     #: dictionary byte-identically without re-running the adoption
-    #: comparison. Measured on the r5 mixture at the ratio() dials (with
-    #: cluster_docs): a further −1.6% payload on top of clustering
-    #: (4.278→4.347; adopting pages held 1.67 MB vs a 81 KB dict row). OFF
-    #: by default (needs clustering's codec-pure pages to find training
-    #: spans); ratio() turns both on — combined +8.1% ratio over the r4
-    #: ratio() notch on the same workload
+    #: comparison; out-of-dict values ride an ESCAPE code + literal side
+    #: stream so heavy-tail pages can adopt without full coverage. Measured
+    #: on the r5 mixture at the ratio() dials (with cluster_docs): a
+    #: further −2.5% payload on top of clustering (4.278→4.387; adopting
+    #: pages held 1.82 MB vs a 29 KB dict row). OFF by default (needs
+    #: clustering's codec-pure pages to find training windows); ratio()
+    #: turns both on — combined +9.1% ratio over the r4 ratio() notch on
+    #: the same workload
     group_dict: bool = False
     #: deterministic seed; combined with content hashes so re-runs (and runs
     #: at different parallelism) produce byte-identical streams
