@@ -333,6 +333,20 @@ def test_groupdict_pairing_invariant_marginal_sizes(spark):
         pages.unpersist()
 
 
+def test_groupdict_snapshot_roundtrip(spark, tokens_df, gd_pages, tmp_path):
+    """The snapshot layer (commit → read_snapshot union of immutable dirs)
+    preserves the dict-row-before-pages stream too: each data dir keeps its
+    own part_id layout and single-row-group files."""
+    from zopfli_spark.sources.store import commit_snapshot, read_snapshot
+
+    root = str(tmp_path / "snapstore")
+    commit_snapshot(gd_pages, root)
+    back = read_snapshot(spark, root)
+    assert back.filter(back.codec == "group_dict_store").count() > 0
+    bad = roundtrip_check(tokens_df, decode_table(back, GD_CFG))
+    assert bad.count() == 0
+
+
 def test_groupdict_determinism_across_parallelism(spark):
     df = synth_tokens_df(spark, n_docs=300, seed=11)
     sigs = []

@@ -518,8 +518,12 @@ def _encode_group(
     _MEMO_CAP = 256 << 20
     # (r0, r1) → (losing payload, codec) for spans that adopted the group
     # dictionary in the argmin — the exact-revert set for the final
-    # dict-row accounting (see _encode_span)
+    # dict-row accounting (see _encode_span). Byte-capped like the memo; a
+    # missing stash at revert time falls back to a default-flags re-encode
+    # (decodes identically, possibly a few bytes above the true runner-up)
     _gh_alts: dict = {}
+    _gh_alts_bytes = [0]
+    _GH_ALTS_CAP = 128 << 20
 
     def encode_rows(
         r0: int,
@@ -547,6 +551,7 @@ def _encode_group(
         level: int | None = None,
         zlib_only: bool = False,
         dial: bool = False,
+        group_ok: bool = True,
     ):
         # ``dial``: mode-grid codec-dial axis — widen the Huffman admission
         # to its entropy bound and keep-if-smaller both plane strategies.
@@ -579,7 +584,7 @@ def _encode_group(
         # not pay for the group. The group payload for a span is flag-
         # independent (same values → same positions → same bytes), so
         # stashing min-over-flags alts keeps the revert exact.
-        if config.group_dict and forced is None and v1 > v0:
+        if config.group_dict and group_ok and forced is None and v1 > v0:
             ctx = _gh_ctx()
             if ctx["blob"] is not None:
                 from .codecs.kernels import (
@@ -597,7 +602,10 @@ def _encode_group(
                     if cand_sz < len(page[1]):
                         prev = _gh_alts.get((r0, r1))
                         if prev is None or len(page[1]) < len(prev[0]):
-                            _gh_alts[(r0, r1)] = (page[1], page[2])
+                            grow = len(page[1]) - (len(prev[0]) if prev else 0)
+                            if _gh_alts_bytes[0] + grow <= _GH_ALTS_CAP:
+                                _gh_alts[(r0, r1)] = (page[1], page[2])
+                                _gh_alts_bytes[0] += grow
                         page = (
                             page[0],
                             encode_group_huffman(sym, esc_vals, gd, gd.crc),
@@ -850,21 +858,29 @@ def _encode_group(
                 _gh_alts.get((int(row_bounds[k]), int(row_bounds[k + 1])))
                 for k in adopted
             ]
-            total_save = sum(
-                len(alt[0]) - len(pages[k][1])
-                for k, alt in zip(adopted, alts)
+            # a stash evicted by the byte cap → re-derive a runner-up at
+            # default flags (decodes identically; at worst a few bytes over
+            # the true runner-up, slightly overstating savings for a page
+            # whose dial-flag encode was the real runner-up — bounded and
+            # deterministic, and only reachable past the 128 MB stash cap)
+            alts = [
+                alt
                 if alt is not None
+                else (lambda pg: (pg[1], pg[2]))(
+                    _encode_span(int(row_bounds[k]), int(row_bounds[k + 1]), group_ok=False)
+                )
+                for k, alt in zip(adopted, alts)
+            ]
+            total_save = sum(
+                len(alt[0]) - len(pages[k][1]) for k, alt in zip(adopted, alts)
             )
             if (
-                all(alt is not None for alt in alts)
-                and ctx["blob"] is not None
+                ctx["blob"] is not None
                 and total_save > len(ctx["blob"]) + _GH_ROW_OVERHEAD
             ):
                 gd_row_payload = ctx["blob"]
             else:
                 for k, alt in zip(adopted, alts):
-                    if alt is None:  # defensive: never ship an orphan page
-                        raise ValueError("group_huffman page with no runner-up stash")
                     h, _p, _c, crc = pages[k]
                     pages[k] = (h, alt[0], alt[1], crc)
     elif config.group_dict and forced_codecs is not None:
