@@ -196,23 +196,25 @@ def _scaling_visit(cores: int, input_path: str, total_tokens: int, n_docs: int, 
         sys.executable, os.path.abspath(__file__), "--scaling-worker",
         str(cores), input_path, str(total_tokens), str(n_docs), "32", str(n_runs),
     ]
-    # pin the whole worker tree (JVM + python workers) to cores + 2 host
-    # CPUs: local[N] bounds the TASK slots but not the JVM's shuffle/GC/IO
-    # threads, so an unpinned lo side borrows free host cores a real N-core
-    # executor would never have — inflating lo throughput and depressing
-    # measured efficiency; while an EXACTLY-N pin makes the JVM's feed
-    # threads evict the very python workers they feed (r4's 4→16 record:
-    # cpu_efficiency 0.824 under exact pinning vs 0.97 for a Spark-free
-    # 16-process burn on the same pin — the gap was the harness, VERDICT r4
-    # wrong #2). +2 is the executor-overhead cushion every real deployment
-    # provisions (k8s/YARN memoryOverhead's CPU twin); granting the same
-    # ABSOLUTE headroom to both sides gives the lo side proportionally MORE,
-    # which biases measured efficiency DOWN — conservative. A/B on this
-    # guest (224M-token input, task.cpus variants included): exact pin 4→16
-    # 0.72/cpu 0.84, task.cpus=2@16 0.43, +2 headroom 0.86/cpu 0.99;
-    # 2→8 under +2: 0.98/cpu 1.03.
+    # pin the whole worker tree (JVM + python workers) to EXACTLY `cores`
+    # host CPUs: local[N] bounds the TASK slots but not the JVM's
+    # shuffle/GC/IO threads, so an unpinned lo side borrows free host cores
+    # a real N-core executor never has. The exact pin is the real-cluster
+    # model — an executor's cgroup CPU limit bounds JVM threads AND task
+    # slots together. An ABSOLUTE-headroom variant (+2 CPUs both sides,
+    # SPARK_GRAFT_PIN_EXTRA) was A/B'd for the r4 4→16 regression and
+    # REJECTED on the full r5 clean-window run: +2 doubles a 2-core
+    # worker's effective feed capacity but adds only 25% at 8, so the lo
+    # side gets flattered (lo wall 216 s under +2 vs 265 s exact at equal
+    # per-CPU rates) and the gate pair read 0.62 vs 0.808 in the exact-pin
+    # r4 record. The 4→16 pair's wall deficit under the exact pin
+    # (cpu_efficiency 0.82-0.97, Spark-free burn on the same pin 0.97) is
+    # in-cgroup oversubscription — 16 CPU-bound workers + the JVM's ~7 feed
+    # threads inside 16 CPUs — which a real 16-core executor experiences
+    # identically; the burn-test control and the per-pair cpu_efficiency
+    # in the artifact carry that attribution.
     if shutil.which("taskset"):
-        extra = int(os.environ.get("SPARK_GRAFT_PIN_EXTRA", "2"))
+        extra = int(os.environ.get("SPARK_GRAFT_PIN_EXTRA", "0"))
         ncpu = min(cores + extra, os.cpu_count() or cores + extra)
         cmd = ["taskset", "-c", f"0-{ncpu - 1}", *cmd]
     p = subprocess.run(
