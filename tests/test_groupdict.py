@@ -130,6 +130,42 @@ def test_group_dict_cardinality_bounds():
         encode_group_dict(np.array([5], dtype=np.int64), np.array([3], dtype=np.int64))
 
 
+def test_group_dict_cardinality_cap_boundary():
+    """Exactly 2^17 uniques must be REJECTED up front (ADVICE r5 medium:
+    the ESCAPE symbol is appended, so 2^17 uniques means 2^17+1 codes and
+    package_merge crashed with 'maxbits=17 too small'); 2^17 - 1 uniques —
+    the true cap — must encode and roundtrip."""
+    from zopfli_spark.codecs.kernels import _GH_MAX_CARD
+
+    at_cap = np.arange(_GH_MAX_CARD, dtype=np.int64)
+    with pytest.raises(ValueError, match="cardinality"):
+        encode_group_dict(at_cap, np.ones(_GH_MAX_CARD, dtype=np.int64))
+    u = np.arange(_GH_MAX_CARD - 1, dtype=np.int64)
+    cts = np.ones(_GH_MAX_CARD - 1, dtype=np.int64)
+    cts[:64] = 1000  # non-degenerate code
+    gd = GroupDict(encode_group_dict(u, cts))
+    assert len(gd.vals) == _GH_MAX_CARD - 1
+    vals = np.array([0, 5, 17, _GH_MAX_CARD + 9], dtype=np.int64)  # last escapes
+    sym, esc = group_tokens(vals, gd)
+    blob = encode_group_huffman(sym, esc, gd, gd.crc)
+    assert len(blob) == group_huffman_size(sym, esc, gd)
+    out = decode_group_huffman(blob, len(vals), gd)
+    assert np.array_equal(out, vals)
+
+
+def test_emit_bits_window_overflow_fails_loudly():
+    """_emit_bits' 3-byte window is exactly saturated by 17-bit codes at
+    7-bit misalignment; an 18-bit code must raise, never silently corrupt
+    the stream (ADVICE r5 low — guards a future _GH_MAXBITS bump)."""
+    from zopfli_spark.codecs.kernels import _emit_bits
+
+    starts = np.array([0, 18], dtype=np.int64)
+    codes = np.array([1, 1], dtype=np.int64)
+    lens = np.array([18, 18], dtype=np.int64)
+    with pytest.raises(ValueError, match="window overflow"):
+        _emit_bits(starts, codes, lens, 36)
+
+
 def test_group_dict_survives_giant_mixed_span():
     """Regression (r5): one giant page mixing a heavy-tail distribution with
     near-uniform content used to poison the mass-weighted pooled code — KL
@@ -242,6 +278,25 @@ def test_groupdict_dial_mode_bits():
     allow = dataclasses.replace(GD_CFG, codec_allowlist=("plain", "rle", "huffman"))
     assert 0 < allow.mode < 2**63
     assert allow.mode != GD_CFG.mode
+
+
+def test_groupdict_adoption_honors_codec_allowlist(spark, tokens_df, gd_pages):
+    """group_dict=True + an allow-list WITHOUT group_huffman must emit zero
+    group pages (ADVICE r5 low: adoption bypassed allowed_tags, silently
+    violating a decode-compat pin); the same allow-list WITH it adopts."""
+    import dataclasses
+
+    deny = dataclasses.replace(
+        GD_CFG, codec_allowlist=("huffman", "dict", "rle", "zlib")
+    )
+    p = encode_table(tokens_df, deny).select("codec").toPandas()
+    assert not p["codec"].isin(["group_huffman", "group_dict_store"]).any()
+
+    allow = dataclasses.replace(
+        GD_CFG, codec_allowlist=("huffman", "dict", "rle", "zlib", "group_huffman")
+    )
+    p2 = encode_table(tokens_df, allow).select("codec").toPandas()
+    assert (p2["codec"] == "group_huffman").any()
 
 
 def test_groupdict_lineage_replay_byte_identical(spark, tokens_df, gd_pages):

@@ -116,6 +116,102 @@ def test_concurrent_commits_no_lost_snapshot(tmp_path):
     }
 
 
+def test_contended_commit_stress_no_lost_snapshot(tmp_path):
+    """≥20 contended commit rounds (4 writers × 6 rounds) with a reader
+    thread hammering list_snapshots the whole time: every commit must land,
+    sequences must be gapless, and no reader may ever crash — the exact
+    failure mode of VERDICT r5 wrong #1, where a momentarily-EMPTY commit
+    marker (O_EXCL create before content write) made a racing re-base open
+    the snapshots directory as a manifest and silently lose a snapshot.
+    The os.link claim protocol makes the marker atomic WITH its content."""
+    import threading
+
+    from zopfli_spark.sources.store import _commit_manifest
+
+    root = str(tmp_path / "store")
+    os.makedirs(os.path.join(root, "data", "snap-base"))
+    _commit_manifest(root, "data/snap-base", {"added_pages": 1}, ["x"], append=True)
+
+    n_writers, n_rounds = 4, 6
+    stop = threading.Event()
+    reader_errors: list[BaseException] = []
+
+    def reader():
+        # hammer the read path for the whole contention window: any
+        # torn/empty marker state crashes here (IsADirectoryError pre-fix)
+        while not stop.is_set():
+            try:
+                list_snapshots(root)
+                current_snapshot(root)
+            except BaseException as e:  # noqa: BLE001 — record, don't mask
+                reader_errors.append(e)
+                return
+
+    writer_errors: list[BaseException] = []
+    barrier = threading.Barrier(n_writers)
+
+    def writer(tag):
+        try:
+            for r in range(n_rounds):
+                rel = f"data/snap-{tag}-{r}"
+                os.makedirs(os.path.join(root, rel))
+                barrier.wait()  # align every round so races actually happen
+                _commit_manifest(
+                    root, rel, {"added_pages": 1}, ["x"], append=True,
+                    max_retries=64,
+                )
+        except BaseException as e:  # noqa: BLE001
+            writer_errors.append(e)
+
+    rt = threading.Thread(target=reader)
+    rt.start()
+    ts = [threading.Thread(target=writer, args=(f"w{i}",)) for i in range(n_writers)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    stop.set()
+    rt.join()
+
+    assert not writer_errors, writer_errors
+    assert not reader_errors, reader_errors
+    snaps = list_snapshots(root)
+    total = 1 + n_writers * n_rounds
+    assert [m["sequence"] for m in snaps] == list(range(1, total + 1))
+    expect = {"data/snap-base"} | {
+        f"data/snap-w{i}-{r}" for i in range(n_writers) for r in range(n_rounds)
+    }
+    assert set(current_snapshot(root)["dirs"]) == expect
+
+
+def test_bad_commit_markers_are_skipped(tmp_path):
+    """Crafted bad markers — empty body, garbage manifest name, marker whose
+    manifest was deleted — must be SKIPPED with a warning, never reach
+    open() and crash the read path (VERDICT r5 next #8)."""
+    from zopfli_spark.sources.store import _commit_manifest, _snap_dir
+
+    root = str(tmp_path / "store")
+    os.makedirs(os.path.join(root, "data", "snap-base"))
+    m1 = _commit_manifest(root, "data/snap-base", {"added_pages": 1}, ["x"], append=True)
+    os.makedirs(os.path.join(root, "data", "snap-two"))
+    m2 = _commit_manifest(root, "data/snap-two", {"added_pages": 1}, ["x"], append=True)
+    d = _snap_dir(root)
+    # legacy pre-link-protocol crash artifacts:
+    with open(os.path.join(d, "000003.commit"), "w"):
+        pass  # empty marker (the old O_EXCL window)
+    with open(os.path.join(d, "000004.commit"), "w") as fh:
+        fh.write("no-such-manifest.json")  # garbage name
+    # marker whose manifest was deleted out from under it
+    os.makedirs(os.path.join(root, "data", "snap-gone"))
+    m5 = _commit_manifest(root, "data/snap-gone", {"added_pages": 1}, ["x"], append=True)
+    os.unlink(os.path.join(d, f"{m5['sequence']:06d}-{m5['snapshot_id']}.json"))
+
+    with pytest.warns(UserWarning, match="bad commit marker"):
+        snaps = list_snapshots(root)
+    assert [m["snapshot_id"] for m in snaps] == [m1["snapshot_id"], m2["snapshot_id"]]
+    assert current_snapshot(root)["snapshot_id"] == m2["snapshot_id"]
+
+
 def test_expire_snapshots(spark, root):
     from zopfli_spark.sources.store import expire_snapshots
 

@@ -418,6 +418,16 @@ def _emit_bits(starts: np.ndarray, tok_code: np.ndarray, tok_len: np.ndarray, to
     ``np.bincount(weights=...)`` computes in C. Replaces the per-bit scatter
     array (O(total_bits) memory + maxlen masked passes): measured ~8× faster
     on 500k-value zipf pages."""
+    # the 3-byte window holds a code iff misalignment (≤7) + code length
+    # ≤ 24; _GH_MAXBITS=17 saturates it exactly (7+17=24 → shift 0). A
+    # longer code would make the shift NEGATIVE and silently corrupt the
+    # stream — fail loudly instead (ADVICE r5 low: guards any future
+    # _GH_MAXBITS bump past 17 that forgets to widen this window)
+    if len(tok_len) and int(tok_len.max()) + 7 > 24:
+        raise ValueError(
+            f"_emit_bits 24-bit window overflow: max code length "
+            f"{int(tok_len.max())} > 17"
+        )
     q, r = np.divmod(starts, 8)
     window = tok_code << (24 - r - tok_len)  # 24-bit big-endian window
     nbytes = (total_bits + 7) // 8
@@ -588,7 +598,12 @@ def encode_group_dict(uniq: np.ndarray, counts: np.ndarray, zlib_level: int = 6)
     escape weight is a fixed pseudo-count (~0.8% of training mass) so the
     table is a pure function of its inputs and lineage replay reproduces
     the same bytes."""
-    if len(uniq) < 2 or len(uniq) > _GH_MAX_CARD:
+    # the table carries len(uniq)+1 codes (the ESCAPE symbol is appended),
+    # and a maxbits-17 canonical code fits at most 2^17 symbols — so the
+    # dictionary itself caps at _GH_MAX_CARD - 1 (ADVICE r5 medium: the
+    # old `> _GH_MAX_CARD` check admitted exactly 2^17 uniques, and
+    # package_merge then raised on 2^17+1 symbols, crashing the encode task)
+    if len(uniq) < 2 or len(uniq) > _GH_MAX_CARD - 1:
         raise ValueError(f"group dict cardinality {len(uniq)} out of range")
     esc_w = max(1, int(counts.sum()) // 128)
     hist = np.concatenate([np.asarray(counts, dtype=np.int64), [esc_w]])

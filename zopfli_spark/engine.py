@@ -410,7 +410,7 @@ def _encode_group(
                 continue
             sp = values[a:b].astype(np.int64)
             u, cts = np.unique(sp, return_counts=True)
-            if len(u) < _GH_MIN_TRAIN_CARD or len(u) > _GH_MAX_CARD:
+            if len(u) < _GH_MIN_TRAIN_CARD or len(u) > _GH_MAX_CARD - 1:
                 continue
             h0 = _entropy_bits(cts) / n_sp
             w_for = bit_width(int(sp.max()) - int(sp.min()))
@@ -439,7 +439,9 @@ def _encode_group(
         uni: np.ndarray | None = None
         for t in train:
             merged = t[0] if uni is None else np.union1d(uni, t[0])
-            if len(merged) > _GH_MAX_CARD:
+            # - 1: the ESCAPE symbol rides along, so the table tops out at
+            # 2^17 codes with a 2^17-1 dictionary (ADVICE r5 medium)
+            if len(merged) > _GH_MAX_CARD - 1:
                 continue
             uni = merged
             selected.append(t)
@@ -484,7 +486,7 @@ def _encode_group(
             _gh_state.update(blob=None)
             return _gh_state
         allu = np.unique(np.concatenate([t[0] for t in train]))
-        if len(allu) < 2 or len(allu) > _GH_MAX_CARD:
+        if len(allu) < 2 or len(allu) > _GH_MAX_CARD - 1:
             _gh_state.update(blob=None)
             return _gh_state
         pooled = np.zeros(len(allu), dtype=np.int64)
@@ -585,7 +587,14 @@ def _encode_group(
         # independent (same values → same positions → same bytes), so
         # stashing min-over-flags alts keeps the revert exact.
         if config.group_dict and group_ok and forced is None and v1 > v0:
-            ctx = _gh_ctx()
+            from .codecs.kernels import GROUP_HUFFMAN as _GH_TAG
+
+            # the adoption candidate honors the codec allow-list like every
+            # other tag (ADVICE r5 low: it bypassed allowed_tags, so a
+            # decode-compat pin could silently be violated)
+            ctx = _gh_ctx() if (
+                allowed_tags is None or _GH_TAG in allowed_tags
+            ) else {"blob": None}
             if ctx["blob"] is not None:
                 from .codecs.kernels import (
                     encode_group_huffman,
