@@ -165,3 +165,57 @@ def test_giant_doc_routed_to_longtail_keyspace_and_roundtrips(spark):
     a = df.select("doc_id", F.col("tokens").cast("string").alias("t"))
     b = dec.select("doc_id", F.col("tokens").cast("string").alias("t"))
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def _signature_keys_loop_reference(values: np.ndarray, val_offsets: np.ndarray) -> np.ndarray:
+    """The pre-r6 per-doc Python loop, kept verbatim as the oracle for the
+    vectorized ``_doc_signature_keys`` (VERDICT r5 wrong #5): the clustered
+    doc order feeds content hashes and page geometry, so the rewrite must be
+    bit-for-bit identical, not approximately equal."""
+    n_docs = len(val_offsets) - 1
+    keys = np.zeros(n_docs, dtype=np.int64)
+    for i in range(n_docs):
+        a, b = int(val_offsets[i]), int(val_offsets[i + 1])
+        n = b - a
+        if n == 0:
+            continue
+        d = values[a:b].astype(np.int64)
+        rng_b = int(max(int(d.max()) - int(d.min()), 0)).bit_length()
+        if n > 1:
+            diffs = np.diff(d)
+            runs = 1 + int(np.count_nonzero(diffs))
+            mad_b = int(float(np.abs(diffs).mean()) + 1).bit_length()
+        else:
+            runs, mad_b = 1, 0
+        run_b = int(8 * runs / n)
+        samp = d[:: max(1, n // 256)]
+        dist_b = int(8 * len(np.unique(samp)) / len(samp))
+        keys[i] = (rng_b << 24) | (run_b << 16) | (dist_b << 8) | mad_b
+    return keys
+
+
+def test_doc_signature_keys_vectorized_matches_loop():
+    from zopfli_spark.engine import _doc_signature_keys
+
+    rng = np.random.default_rng(12345)
+    docs: list[np.ndarray] = []
+    # every content shape the signature buckets discriminate on, plus the
+    # edge cases the vectorization must not regress: empty docs, singleton
+    # docs, constant runs, negative values, huge ranges, >256-value docs
+    # (sampling stride kicks in), exact-256 and 257 boundary lengths
+    docs += [np.array([], dtype=np.int64)] * 3
+    docs += [np.array([7], dtype=np.int64), np.array([-5], dtype=np.int64)]
+    docs += [np.full(rng.integers(2, 900), int(c), dtype=np.int64) for c in (0, -3, 1 << 40)]
+    docs += [rng.integers(-50, 50, rng.integers(2, 1500)).astype(np.int64) for _ in range(40)]
+    docs += [np.minimum(rng.zipf(1.3, rng.integers(10, 3000)), 1 << 30).astype(np.int64) for _ in range(40)]
+    docs += [np.cumsum(rng.integers(0, 9, rng.integers(2, 2000))).astype(np.int64) for _ in range(20)]
+    docs += [rng.integers(0, 1 << 62, rng.integers(2, 600)).astype(np.int64) for _ in range(10)]
+    docs += [np.arange(n, dtype=np.int64) for n in (255, 256, 257, 512, 513)]
+    rng.shuffle(docs)
+    values = np.concatenate([d for d in docs if len(d)])
+    offsets = np.concatenate(([0], np.cumsum([len(d) for d in docs])))
+    got = _doc_signature_keys(values, offsets)
+    want = _signature_keys_loop_reference(values, offsets)
+    assert np.array_equal(got, want), (
+        f"first mismatch at doc {int(np.nonzero(got != want)[0][0])}"
+    )

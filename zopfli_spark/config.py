@@ -119,6 +119,21 @@ class EngineConfig:
     #: turns both on — combined +9.1% ratio over the r4 ratio() notch on
     #: the same workload
     group_dict: bool = False
+    #: price the group_huffman candidate inside the split ESTIMATOR (r6):
+    #: every range cost becomes min(own-entropy, bits under the shared group
+    #: code), so the split search isolates heavy-tail content that is cheap
+    #: UNDER THE DICTIONARY even when mixed company makes its own entropy
+    #: look expensive — the r5 known gap (a mixed page held zipf content at
+    #: ~9.4 b/v realized vs ~7.4 achievable, ~2% of payload; four post-hoc
+    #: recovery policies all measured worse than split-time pricing, see
+    #: BENCH.md). Mirrors the reference splitting on LZ77-aware stats rather
+    #: than raw bytes (src/zopfli/blocksplitter.c:308-352). Estimator-only
+    #: dial (codec choice stays exact keep-if-smaller bytes), so it is
+    #: deliberately NOT in the mode fingerprint: replayed plans are exact
+    #: regardless of which estimator picked their geometry. Exists as a dial
+    #: so the BENCH.md A/B is reproducible; no reason to turn it off in
+    #: production. No-op unless group_dict is on
+    gh_split_pricing: bool = True
     #: deterministic seed; combined with content hashes so re-runs (and runs
     #: at different parallelism) produce byte-identical streams
     seed: int = 42

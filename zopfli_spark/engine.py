@@ -182,31 +182,201 @@ _GH_KL_MAX = 0.3  # drop training spans whose cross-entropy under the
 _GH_ROW_OVERHEAD = 48  # approximate per-row cost of the dict row itself
 
 
+# powers of two for a vectorized int.bit_length: bl(x) = index right of x
+# in [2^0 .. 2^62] (bl(0)=0, bl(1)=1, bl(2^k)=k+1) — exact, no float log2
+_BL_POWS = (np.int64(1) << np.arange(63, dtype=np.int64))
+
+
+def _bit_lengths(x: np.ndarray) -> np.ndarray:
+    return np.searchsorted(_BL_POWS, x, side="right").astype(np.int64)
+
+
+def train_group_dict(values: np.ndarray, config) -> dict:
+    """Derive the group's shared-Huffman dictionary from (content, config)
+    alone — returns ``{"blob": bytes|None, "gd": GroupDict?}``. Module-level
+    (r6) so tools/tests can derive the identical dictionary the encode task
+    will use; ``_encode_group``'s lazy ``_gh_ctx`` is a thin memo over this.
+
+    Training-set selection is CONTENT-PURE (no realized-size comparisons):
+    fixed windows over the (clustered) value stream where order-0 entropy
+    beats every analytic codec floor, refined by equal-weight-KL dropping.
+    Independent of page bounds, so lineage replay re-derives identical
+    dictionary bytes and the dictionary exists BEFORE the split search
+    (every search stage prices the group_huffman candidate in its argmin)."""
+    from .codecs.bitio import bit_width
+    from .codecs.kernels import (
+        _GH_MAX_CARD,
+        GroupDict,
+        _entropy_bits,
+        encode_group_dict,
+    )
+
+    train: list[tuple] = []
+    n_total = len(values)
+    # window tracks page granularity (adoption is per page) but stays
+    # capped: pure function of config, so replay derives the same set
+    win = max(_GH_MIN_TRAIN_SPAN, min(config.page_budget_values, _GH_TRAIN_WINDOW))
+    starts = list(range(0, n_total, win))
+    for k, a in enumerate(starts):
+        b = min(a + win, n_total)
+        n_sp = b - a
+        if n_sp < _GH_MIN_TRAIN_SPAN:
+            continue
+        sp = values[a:b].astype(np.int64)
+        u, cts = np.unique(sp, return_counts=True)
+        if len(u) < _GH_MIN_TRAIN_CARD or len(u) > _GH_MAX_CARD - 1:
+            continue
+        h0 = _entropy_bits(cts) / n_sp
+        w_for = bit_width(int(sp.max()) - int(sp.min()))
+        if n_sp > 1:
+            diffs = np.diff(sp)
+            w_delta = bit_width(2 * int(np.abs(diffs).max()))
+            rle_b = 64.0 * (1 + int(np.count_nonzero(diffs))) / n_sp
+        else:
+            w_delta, rle_b = 64, 64.0
+        if h0 < _GH_ENTROPY_MARGIN * min(w_for, w_delta, rle_b):
+            train.append((u, cts, h0, k))
+    # greedy cardinality-capped selection, LOW-card spans first (span
+    # index as the deterministic tiebreak — content-pure, so replay
+    # re-derives the same set): without this, one high-card span (a
+    # page mixing a heavy-tail distribution with near-uniform content)
+    # inflates the pooled union past _GH_MAX_CARD and the WHOLE group
+    # bailed — and the KL refinement below could not save it, because
+    # the offending span carries the majority mass, so refinement kept
+    # it and dropped the compatible low-card spans instead (measured on
+    # the r5 mixture: 0 adoptions at the ratio dials, ~3.5% payload
+    # left on the table). Compatible spans overlap heavily, so their
+    # running union grows slowly; an incompatible giant fails the cap
+    # and is skipped, never poisoning the pool.
+    train.sort(key=lambda t: (len(t[0]), t[3]))
+    selected: list[tuple] = []
+    uni: np.ndarray | None = None
+    for t in train:
+        merged = t[0] if uni is None else np.union1d(uni, t[0])
+        # - 1: the ESCAPE symbol rides along, so the table tops out at
+        # 2^17 codes with a 2^17-1 dictionary (ADVICE r5 medium)
+        if len(merged) > _GH_MAX_CARD - 1:
+            continue
+        uni = merged
+        selected.append(t)
+    train = selected
+    # KL refinement: drop distribution-mismatched spans, retrain. The
+    # compatibility metric pools spans with EQUAL weight (each span's
+    # counts normalized to a probability first): under mass-weighted
+    # pooling one giant span dominates q, inflating every OTHER span's
+    # cross-entropy — on the r5 mixture a 1.4M-value mixed page made
+    # all nine compatible zipf spans read ce−h0 ≈ 0.65 while itself
+    # reading 0.33, so refinement either dropped the good spans or gave
+    # up, and adoption never fired. Equal-weight q makes the true
+    # outlier the one that pays: a span unlike the others sees its
+    # values at ~1/K of their own probability (ce−h0 ≈ log2 K) while
+    # compatible spans sit near 0. When every span fails the gate the
+    # set is heterogeneous — drop only the single worst offender and
+    # re-pool, so one bad span can never take the group down with it.
+    # round cap bounds refinement CPU on pathological heterogeneous
+    # groups (drop-worst removes one span per round); exact byte
+    # safety never depends on refinement — adoption is keep-if-smaller
+    for _round in range(16):
+        if not train:
+            break
+        allu = np.unique(np.concatenate([t[0] for t in train]))
+        q = np.zeros(len(allu), dtype=np.float64)
+        for u, cts, _h0, _k in train:
+            q[np.searchsorted(allu, u)] += cts / cts.sum()
+        q /= len(train)
+        offenses = []
+        for t in train:
+            u, cts, h0, _k = t
+            ce = float(-(cts * np.log2(q[np.searchsorted(allu, u)])).sum() / cts.sum())
+            offenses.append(ce - h0)
+        keep = [t for t, o in zip(train, offenses) if o <= _GH_KL_MAX]
+        if len(keep) == len(train):
+            break
+        if not keep:
+            worst = int(np.argmax(offenses))
+            keep = [t for j, t in enumerate(train) if j != worst]
+        train = keep
+    if not train:
+        return {"blob": None}
+    allu = np.unique(np.concatenate([t[0] for t in train]))
+    if len(allu) < 2 or len(allu) > _GH_MAX_CARD - 1:
+        return {"blob": None}
+    pooled = np.zeros(len(allu), dtype=np.int64)
+    for u, cts, _h0, _k in train:
+        pooled[np.searchsorted(allu, u)] += cts
+    blob = encode_group_dict(allu, pooled, zlib_level=config.zlib_level)
+    return {"blob": blob, "gd": GroupDict(blob)}
+
+
 def _doc_signature_keys(values: np.ndarray, val_offsets: np.ndarray) -> np.ndarray:
     """Per-doc content-signature sort keys for cluster_docs: (range bits,
     run-ratio bucket, sampled-distinct bucket, mean-|delta| bits) packed
     into one int64. Pure function of content → identical at any parallelism.
-    A ~µs-scale numpy pass per doc; the group kernel it precedes runs
-    seconds at the dials that enable clustering."""
+
+    Fully vectorized (VERDICT r5 wrong #5 replaced the per-doc Python
+    loop): segment min/max via ``reduceat`` over non-empty doc starts,
+    run/|delta| stats via masked ``bincount`` over the global diff array,
+    and the sampled-distinct bucket via one lexsort over (doc, sampled
+    value) — the same technique ``_achievable_bpv`` uses. Bit-for-bit
+    identical to the loop form (asserted in tests/test_engine.py): integer
+    sums stay exact in float64 (< 2^53), so every float division and
+    truncation reproduces the per-doc scalar math."""
     n_docs = len(val_offsets) - 1
     keys = np.zeros(n_docs, dtype=np.int64)
-    for i in range(n_docs):
-        a, b = int(val_offsets[i]), int(val_offsets[i + 1])
-        n = b - a
-        if n == 0:
-            continue
-        d = values[a:b].astype(np.int64)
-        rng_b = int(max(int(d.max()) - int(d.min()), 0)).bit_length()
-        if n > 1:
-            diffs = np.diff(d)
-            runs = 1 + int(np.count_nonzero(diffs))
-            mad_b = int(float(np.abs(diffs).mean()) + 1).bit_length()
-        else:
-            runs, mad_b = 1, 0
-        run_b = int(8 * runs / n)
-        samp = d[:: max(1, n // 256)]
-        dist_b = int(8 * len(np.unique(samp)) / len(samp))
-        keys[i] = (rng_b << 24) | (run_b << 16) | (dist_b << 8) | mad_b
+    lens = np.diff(val_offsets).astype(np.int64)
+    nz = lens > 0
+    if not nz.any():
+        return keys
+    v = values.astype(np.int64)
+    starts = val_offsets[:-1].astype(np.int64)
+
+    # range bits: per-doc max-min via reduceat (consecutive non-empty doc
+    # starts tile the value array exactly; empty docs contribute nothing)
+    idx = starts[nz]
+    mx = np.maximum.reduceat(v, idx)
+    mn = np.minimum.reduceat(v, idx)
+    rng_b = np.zeros(n_docs, dtype=np.int64)
+    rng_b[nz] = _bit_lengths(mx - mn)
+
+    # run / mean-|delta| stats from ONE global diff pass, doc-masked
+    doc_of = np.repeat(np.arange(n_docs, dtype=np.int64), lens)
+    dv = np.diff(v) if len(v) > 1 else np.empty(0, dtype=np.int64)
+    same = doc_of[1:] == doc_of[:-1] if len(v) > 1 else np.empty(0, dtype=bool)
+    d_doc = doc_of[:-1][same] if len(v) > 1 else np.empty(0, dtype=np.int64)
+    d_val = dv[same] if len(v) > 1 else dv
+    nz_runs = np.bincount(d_doc[d_val != 0], minlength=n_docs)
+    runs = 1 + nz_runs  # meaningful only where lens > 0
+    abs_sums = np.bincount(d_doc, weights=np.abs(d_val).astype(np.float64), minlength=n_docs)
+    run_b = np.zeros(n_docs, dtype=np.int64)
+    run_b[nz] = (8.0 * runs[nz] / lens[nz]).astype(np.int64)
+    mad_b = np.zeros(n_docs, dtype=np.int64)
+    multi = lens > 1
+    mean_plus1 = np.zeros(n_docs)
+    mean_plus1[multi] = abs_sums[multi] / (lens[multi] - 1) + 1.0
+    mad_b[multi] = _bit_lengths(np.trunc(mean_plus1[multi]).astype(np.int64))
+
+    # sampled-distinct bucket: per-doc strided sample (step = max(1,
+    # n//256)), distinct count via one lexsort over (doc, value)
+    step = np.maximum(1, lens // 256)
+    ns = np.zeros(n_docs, dtype=np.int64)
+    ns[nz] = -(-lens[nz] // step[nz])  # ceil — len(d[::step])
+    cs = np.concatenate(([0], np.cumsum(ns)))
+    within = np.arange(int(cs[-1]), dtype=np.int64) - np.repeat(cs[:-1], ns)
+    pos = np.repeat(starts, ns) + within * np.repeat(step, ns)
+    sv = v[pos]
+    sdoc = np.repeat(np.arange(n_docs, dtype=np.int64), ns)
+    order = np.lexsort((sv, sdoc))
+    sv_s, sdoc_s = sv[order], sdoc[order]
+    dup = np.zeros(len(sv_s), dtype=bool)
+    if len(sv_s) > 1:
+        dup[1:] = (sdoc_s[1:] == sdoc_s[:-1]) & (sv_s[1:] == sv_s[:-1])
+    uniqs = ns - np.bincount(sdoc_s[dup], minlength=n_docs)
+    dist_b = np.zeros(n_docs, dtype=np.int64)
+    dist_b[nz] = (8.0 * uniqs[nz] / ns[nz]).astype(np.int64)
+
+    keys[nz] = (
+        (rng_b[nz] << 24) | (run_b[nz] << 16) | (dist_b[nz] << 8) | mad_b[nz]
+    )
     return keys
 
 
@@ -355,19 +525,6 @@ def _encode_group(
                             np.concatenate((row_bounds, np.asarray(extra, dtype=np.int64)))
                         )
                 hinted = True
-    if plan is None and not hinted:
-        if config.split_mode in ("cost", "dp") and len(lens) > 1:
-            bounds = split_by_cost(
-                values,
-                lens,
-                config.page_budget_values,
-                config.max_pages_per_group,
-                mode="dp" if config.split_mode == "dp" else "greedy",
-            )
-        else:
-            bounds = split_simple(lens, config.page_budget_values)
-        row_bounds = np.unique(np.concatenate(([0], bounds, [len(lens)]))).astype(np.int64)
-
     allowed_tags = _allowlist_tags(config.codec_allowlist)
 
     # --- group-level shared Huffman dictionary context (lazy) --------------
@@ -389,111 +546,7 @@ def _encode_group(
     def _gh_ctx() -> dict:
         if _gh_state:
             return _gh_state
-        from .codecs.bitio import bit_width
-        from .codecs.kernels import (
-            _GH_MAX_CARD,
-            GroupDict,
-            _entropy_bits,
-            encode_group_dict,
-        )
-
-        train: list[tuple] = []
-        n_total = int(val_offsets[-1])
-        # window tracks page granularity (adoption is per page) but stays
-        # capped: pure function of config, so replay derives the same set
-        win = max(_GH_MIN_TRAIN_SPAN, min(config.page_budget_values, _GH_TRAIN_WINDOW))
-        starts = list(range(0, n_total, win))
-        for k, a in enumerate(starts):
-            b = min(a + win, n_total)
-            n_sp = b - a
-            if n_sp < _GH_MIN_TRAIN_SPAN:
-                continue
-            sp = values[a:b].astype(np.int64)
-            u, cts = np.unique(sp, return_counts=True)
-            if len(u) < _GH_MIN_TRAIN_CARD or len(u) > _GH_MAX_CARD - 1:
-                continue
-            h0 = _entropy_bits(cts) / n_sp
-            w_for = bit_width(int(sp.max()) - int(sp.min()))
-            if n_sp > 1:
-                diffs = np.diff(sp)
-                w_delta = bit_width(2 * int(np.abs(diffs).max()))
-                rle_b = 64.0 * (1 + int(np.count_nonzero(diffs))) / n_sp
-            else:
-                w_delta, rle_b = 64, 64.0
-            if h0 < _GH_ENTROPY_MARGIN * min(w_for, w_delta, rle_b):
-                train.append((u, cts, h0, k))
-        # greedy cardinality-capped selection, LOW-card spans first (span
-        # index as the deterministic tiebreak — content-pure, so replay
-        # re-derives the same set): without this, one high-card span (a
-        # page mixing a heavy-tail distribution with near-uniform content)
-        # inflates the pooled union past _GH_MAX_CARD and the WHOLE group
-        # bailed — and the KL refinement below could not save it, because
-        # the offending span carries the majority mass, so refinement kept
-        # it and dropped the compatible low-card spans instead (measured on
-        # the r5 mixture: 0 adoptions at the ratio dials, ~3.5% payload
-        # left on the table). Compatible spans overlap heavily, so their
-        # running union grows slowly; an incompatible giant fails the cap
-        # and is skipped, never poisoning the pool.
-        train.sort(key=lambda t: (len(t[0]), t[3]))
-        selected: list[tuple] = []
-        uni: np.ndarray | None = None
-        for t in train:
-            merged = t[0] if uni is None else np.union1d(uni, t[0])
-            # - 1: the ESCAPE symbol rides along, so the table tops out at
-            # 2^17 codes with a 2^17-1 dictionary (ADVICE r5 medium)
-            if len(merged) > _GH_MAX_CARD - 1:
-                continue
-            uni = merged
-            selected.append(t)
-        train = selected
-        # KL refinement: drop distribution-mismatched spans, retrain. The
-        # compatibility metric pools spans with EQUAL weight (each span's
-        # counts normalized to a probability first): under mass-weighted
-        # pooling one giant span dominates q, inflating every OTHER span's
-        # cross-entropy — on the r5 mixture a 1.4M-value mixed page made
-        # all nine compatible zipf spans read ce−h0 ≈ 0.65 while itself
-        # reading 0.33, so refinement either dropped the good spans or gave
-        # up, and adoption never fired. Equal-weight q makes the true
-        # outlier the one that pays: a span unlike the others sees its
-        # values at ~1/K of their own probability (ce−h0 ≈ log2 K) while
-        # compatible spans sit near 0. When every span fails the gate the
-        # set is heterogeneous — drop only the single worst offender and
-        # re-pool, so one bad span can never take the group down with it.
-        # round cap bounds refinement CPU on pathological heterogeneous
-        # groups (drop-worst removes one span per round); exact byte
-        # safety never depends on refinement — adoption is keep-if-smaller
-        for _round in range(16):
-            if not train:
-                break
-            allu = np.unique(np.concatenate([t[0] for t in train]))
-            q = np.zeros(len(allu), dtype=np.float64)
-            for u, cts, _h0, _k in train:
-                q[np.searchsorted(allu, u)] += cts / cts.sum()
-            q /= len(train)
-            offenses = []
-            for t in train:
-                u, cts, h0, _k = t
-                ce = float(-(cts * np.log2(q[np.searchsorted(allu, u)])).sum() / cts.sum())
-                offenses.append(ce - h0)
-            keep = [t for t, o in zip(train, offenses) if o <= _GH_KL_MAX]
-            if len(keep) == len(train):
-                break
-            if not keep:
-                worst = int(np.argmax(offenses))
-                keep = [t for j, t in enumerate(train) if j != worst]
-            train = keep
-        if not train:
-            _gh_state.update(blob=None)
-            return _gh_state
-        allu = np.unique(np.concatenate([t[0] for t in train]))
-        if len(allu) < 2 or len(allu) > _GH_MAX_CARD - 1:
-            _gh_state.update(blob=None)
-            return _gh_state
-        pooled = np.zeros(len(allu), dtype=np.int64)
-        for u, cts, _h0, _k in train:
-            pooled[np.searchsorted(allu, u)] += cts
-        blob = encode_group_dict(allu, pooled, zlib_level=config.zlib_level)
-        _gh_state.update(blob=blob, gd=GroupDict(blob))
+        _gh_state.update(train_group_dict(values, config))
         return _gh_state
 
     def _gh_encode_values(vals: np.ndarray) -> bytes:
@@ -508,6 +561,66 @@ def _encode_group(
             )
         sym, esc_vals = group_tokens(vals, ctx["gd"])
         return encode_group_huffman(sym, esc_vals, ctx["gd"], ctx["gd"].crc)
+
+    def _gh_split_bits() -> np.ndarray | None:
+        """Per-value bit cost of the WHOLE group under the shared code —
+        the split estimator's group_huffman cost column (VERDICT r5 missing
+        #1: the entropy-only estimate was blind to the dictionary, so an
+        initial split mixing heavy-tail with near-uniform content kept the
+        zipf content inside a mixed page at ~9.4 b/v realized vs ~7.4
+        achievable; four post-hoc recovery policies all measured worse than
+        pricing the candidate DURING the split — BENCH.md r5). The
+        dictionary is a pure function of (content, config), independent of
+        page bounds (window training), so pricing it here keeps replay
+        byte-identical. Escaped tokens pay their ESC code plus an estimated
+        side-channel literal."""
+        if not config.group_dict or not config.gh_split_pricing or (
+            allowed_tags is not None and _gh_allow_tag() not in allowed_tags
+        ):
+            return None
+        ctx = _gh_ctx()
+        if ctx["blob"] is None:
+            return None
+        from .codecs.kernels import group_tokens as _gt
+
+        gd = ctx["gd"]
+        sym, _esc = _gt(values, gd)
+        bits = gd.lengths[sym].astype(np.float64)
+        # escapes additionally ship a literal in the per-page side blob;
+        # encode_simple typically lands 16-40 bits per int64 literal — 32
+        # is the estimate (split-time only; codec choice stays exact-bytes)
+        bits[sym == len(gd.vals)] += 32.0
+        return bits
+
+    _gh_bits_state: list = []
+
+    def _gh_bits_cached() -> np.ndarray | None:
+        """One computation feeds every split-search site: the initial split,
+        the mode-grid alternate geometries, and the recompress re-split
+        (sliced) — all downstream adoptions stay exact keep-if-smaller, so
+        a priced estimate can only steer, never cost bytes."""
+        if not _gh_bits_state:
+            _gh_bits_state.append(_gh_split_bits())
+        return _gh_bits_state[0]
+
+    def _gh_allow_tag() -> int:
+        from .codecs.kernels import GROUP_HUFFMAN
+
+        return GROUP_HUFFMAN
+
+    if plan is None and not hinted:
+        if config.split_mode in ("cost", "dp") and len(lens) > 1:
+            bounds = split_by_cost(
+                values,
+                lens,
+                config.page_budget_values,
+                config.max_pages_per_group,
+                mode="dp" if config.split_mode == "dp" else "greedy",
+                gh_bits_per_value=_gh_bits_cached(),
+            )
+        else:
+            bounds = split_simple(lens, config.page_budget_values)
+        row_bounds = np.unique(np.concatenate(([0], bounds, [len(lens)]))).astype(np.int64)
 
     # span-keyed encode memo — the longest-match-cache analog (reference
     # src/zopfli/cache.c:29-133): squeeze proposals, the merge pass, and
@@ -707,6 +820,7 @@ def _encode_group(
                                 config.page_budget_values,
                                 config.max_pages_per_group,
                                 mode="dp",
+                                gh_bits_per_value=_gh_bits_cached(),
                             ),
                             [len(lens)],
                         )
@@ -728,6 +842,7 @@ def _encode_group(
                                 lens,
                                 max(config.page_budget_values // 2, 1),
                                 config.max_pages_per_group * 2,
+                                gh_bits_per_value=_gh_bits_cached(),
                             ),
                             [len(lens)],
                         )
@@ -824,11 +939,13 @@ def _encode_group(
                     # estimate was blind to. Keep-if-smaller on exact bytes.
                     if r1 - r0 > 1:
                         v0k, v1k = int(val_offsets[r0]), int(val_offsets[r1])
+                        _gb = _gh_bits_cached()
                         sub = split_by_cost(
                             values[v0k:v1k],
                             lens[r0:r1],
                             max(config.page_budget_values // 2, 1),
                             4,
+                            gh_bits_per_value=_gb[v0k:v1k] if _gb is not None else None,
                         )
                         sub_bounds = [r0 + int(x) for x in sub if 0 < int(x) < r1 - r0]
                         if sub_bounds:
