@@ -264,3 +264,30 @@ def test_grid_dial_winner_resumes_byte_identical(order_blind_group):
         .count(False)
         == 0
     )
+
+
+def test_rangecost_card_term_distinguishes_saturated_families():
+    """Two content families with IDENTICAL equal-mass bucket histograms but
+    different cardinality (512 vs 65,536 distinct values spread over the
+    same range): bucket entropy saturates at 8 bits so the plain estimator
+    sees no reason to split, while the conditional-entropy (windowed-
+    novelty) term prices them ~9 vs ~16 b/v and isolates the transition —
+    the r6 'flat 17-bit bitpack over 13-bit content' failure mode."""
+    import numpy as np
+    from zopfli_spark.pages import split_by_cost
+
+    rng = np.random.default_rng(21)
+    n_docs, doc_len = 64, 4096
+    half = n_docs // 2
+    span = 1 << 20
+    alpha_a = np.arange(512, dtype=np.int64) * (span // 512)
+    alpha_b = np.arange(65536, dtype=np.int64) * (span // 65536)
+    docs = [alpha_a[rng.integers(0, 512, doc_len)] for _ in range(half)]
+    docs += [alpha_b[rng.integers(0, 65536, doc_len)] for _ in range(half)]
+    values = np.concatenate(docs)
+    lens = np.full(n_docs, doc_len, dtype=np.int64)
+    kw = dict(page_budget=1 << 22, max_pages=64)
+    blind = split_by_cost(values, lens, **kw)
+    carded = split_by_cost(values, lens, card_term=True, **kw)
+    assert half not in blind.tolist(), blind
+    assert half in carded.tolist(), carded

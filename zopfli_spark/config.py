@@ -134,6 +134,19 @@ class EngineConfig:
     #: so the BENCH.md A/B is reproducible; no reason to turn it off in
     #: production. No-op unless group_dict is on
     gh_split_pricing: bool = True
+    #: conditional-entropy (distinctness) term in the split estimator (r6):
+    #: bucket entropy saturates at log2(256) = 8 bits, so content families
+    #: above 8 bits/value (e.g. card-9.6k vs card-68k near-uniform token
+    #: streams) are indistinguishable to the splitter and end up mixed into
+    #: flat bitpack pages. The chain rule H(V) = H(bucket) + H(V|bucket)
+    #: un-caps the estimate, with per-bucket range-distinct counts
+    #: approximated by windowed first-occurrence flags (one stable argsort
+    #: per group, ~0.2 s CPU per Mvalue — why it is a dial and not
+    #: unconditional: the default/throughput notches are kernel-CPU-bound).
+    #: Estimator-only (codec choice stays exact keep-if-smaller), so like
+    #: gh_split_pricing it is deliberately NOT in the mode fingerprint.
+    #: ratio() turns it on
+    split_card_term: bool = False
     #: deterministic seed; combined with content hashes so re-runs (and runs
     #: at different parallelism) produce byte-identical streams
     seed: int = 42
@@ -214,6 +227,7 @@ class EngineConfig:
             max_pages_per_group=1024,
             cluster_docs=True,
             group_dict=True,
+            split_card_term=True,
         )
         kw.update(overrides)
         return cls(**kw)

@@ -617,6 +617,7 @@ def _encode_group(
                 config.max_pages_per_group,
                 mode="dp" if config.split_mode == "dp" else "greedy",
                 gh_bits_per_value=_gh_bits_cached(),
+                card_term=config.split_card_term,
             )
         else:
             bounds = split_simple(lens, config.page_budget_values)
@@ -821,6 +822,7 @@ def _encode_group(
                                 config.max_pages_per_group,
                                 mode="dp",
                                 gh_bits_per_value=_gh_bits_cached(),
+                                card_term=config.split_card_term,
                             ),
                             [len(lens)],
                         )
@@ -843,6 +845,7 @@ def _encode_group(
                                 max(config.page_budget_values // 2, 1),
                                 config.max_pages_per_group * 2,
                                 gh_bits_per_value=_gh_bits_cached(),
+                                card_term=config.split_card_term,
                             ),
                             [len(lens)],
                         )
@@ -946,6 +949,7 @@ def _encode_group(
                             max(config.page_budget_values // 2, 1),
                             4,
                             gh_bits_per_value=_gb[v0k:v1k] if _gb is not None else None,
+                            card_term=config.split_card_term,
                         )
                         sub_bounds = [r0 + int(x) for x in sub if 0 < int(x) < r1 - r0]
                         if sub_bounds:

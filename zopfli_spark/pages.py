@@ -27,6 +27,8 @@ from __future__ import annotations
 import numpy as np
 
 _N_BUCKETS = 256
+_NOVELTY_WINDOW = 1 << 16  # windowed first-occurrence horizon for the
+#                            range-distinct approximation (split_card_term)
 _PAGE_HEADER_BYTES = 192  # amortized per-page header estimate (measured best on the mixture: 4.1930x vs 4.1875x at 96, equal CPU)
 _EXHAUSTIVE_BELOW = 128
 _FIND_MINIMUM_PROBES = 9  # reference default bsr=9 (src/zopfli/util.c:33)
@@ -81,6 +83,7 @@ class _RangeCost:
         values: np.ndarray,
         lens: np.ndarray,
         gh_bits_per_value: np.ndarray | None = None,
+        card_term: bool = False,
     ):
         n_rows = len(lens)
         v64 = values.astype(np.int64)
@@ -114,6 +117,40 @@ class _RangeCost:
         self.cum = np.zeros((n_rows + 1, _N_BUCKETS), dtype=np.int64)
         np.cumsum(hist, axis=0, out=self.cum[1:])
         self.cum_n = np.concatenate(([0], np.cumsum(lens)))
+        # CONDITIONAL-ENTROPY (distinctness) term, r6 (config.
+        # split_card_term). Bucket entropy saturates at log2(_N_BUCKETS)
+        # = 8 bits, so ranges whose true order-0 entropy exceeds 8 are
+        # indistinguishable: a card-9.6k family (H≈12.7, Huffman-codeable
+        # at ~13 b/v) and a card-68k family (H≈15.9) read identically and
+        # get mixed into flat 17-bit bitpack pages. The chain rule fixes
+        # the cap: H(V) = H(bucket) + H(V | bucket), and H(V|bucket=b) is
+        # estimated as log2(distinct_b) per range. Range-distinct counts
+        # are approximated by WINDOWED-NOVELTY flags (a value is novel if
+        # its previous occurrence is > 2^16 positions back — one stable
+        # argsort per group), which are prefix-summable per (row, bucket)
+        # exactly like the mass histogram. Estimates on the mixture:
+        # zipf ≈ its sub-8 bucket entropy (head buckets hold 1-2 distinct
+        # values, so the conditional term ≈ 0 where the mass is), 9.6k-
+        # card wide ≈ 13.2 (true 12.7), 68k-card wide ≈ 16.1 (true 15.9).
+        # Overestimates only make the splitter isolate more — codec choice
+        # stays exact keep-if-smaller and merge_pass re-merges on bytes.
+        self.cum_nov: np.ndarray | None = None
+        if card_term and len(v64):
+            order = np.argsort(v64, kind="stable")
+            v_s = v64[order]
+            nov_sorted = np.empty(len(v64), dtype=bool)
+            nov_sorted[0] = True
+            nov_sorted[1:] = (v_s[1:] != v_s[:-1]) | (
+                (order[1:] - order[:-1]) > _NOVELTY_WINDOW
+            )
+            nov = np.empty(len(v64), dtype=bool)
+            nov[order] = nov_sorted
+            hist_nov = np.bincount(
+                (row_of_value * _N_BUCKETS + bucket)[nov],
+                minlength=n_rows * _N_BUCKETS,
+            ).reshape(n_rows, _N_BUCKETS)
+            self.cum_nov = np.zeros((n_rows + 1, _N_BUCKETS), dtype=np.int64)
+            np.cumsum(hist_nov, axis=0, out=self.cum_nov[1:])
         if gh_bits_per_value is not None and len(gh_bits_per_value) == int(
             self.cum_n[-1]
         ):
@@ -134,6 +171,11 @@ class _RangeCost:
         nz = counts[counts > 0].astype(np.float64)
         # ZopfliCalculateEntropy formula (reference src/zopfli/tree.c:66-88)
         h = total * np.log2(total) - float((nz * np.log2(nz)).sum())
+        if self.cum_nov is not None:
+            novc = (self.cum_nov[j] - self.cum_nov[i]).astype(np.float64)
+            h += float(
+                (counts * np.log2(np.maximum(novc, 1.0))).sum()
+            )
         if self.cum_gh is not None:
             h = min(h, float(self.cum_gh[j] - self.cum_gh[i]))
         return h + _PAGE_HEADER_BYTES * 8.0
@@ -148,6 +190,9 @@ class _RangeCost:
             with np.errstate(divide="ignore", invalid="ignore"):
                 ent = np.where(counts > 0, counts * np.log2(counts, where=counts > 0), 0.0)
             h = np.where(totals > 0, totals * np.log2(np.maximum(totals, 1)), 0.0) - ent.sum(axis=-1)
+            if self.cum_nov is not None:
+                novc = (self.cum_nov[hi_idx] - self.cum_nov[lo_idx]).astype(np.float64)
+                h = h + (counts * np.log2(np.maximum(novc, 1.0))).sum(axis=-1)
             if self.cum_gh is not None:
                 h = np.minimum(h, self.cum_gh[hi_idx] - self.cum_gh[lo_idx])
             return h + _PAGE_HEADER_BYTES * 8.0
@@ -236,6 +281,9 @@ def _range_cost_vec(rc: _RangeCost, starts: np.ndarray, end: int) -> np.ndarray:
     with np.errstate(divide="ignore", invalid="ignore"):
         ent = np.where(counts > 0, counts * np.log2(counts, where=counts > 0), 0.0)
     h = np.where(totals > 0, totals * np.log2(np.maximum(totals, 1)), 0.0) - ent.sum(axis=-1)
+    if rc.cum_nov is not None:
+        novc = (rc.cum_nov[end] - rc.cum_nov[starts]).astype(np.float64)
+        h = h + (counts * np.log2(np.maximum(novc, 1.0))).sum(axis=-1)
     if rc.cum_gh is not None:
         h = np.minimum(h, rc.cum_gh[end] - rc.cum_gh[starts])
     return h + _PAGE_HEADER_BYTES * 8.0
@@ -248,6 +296,7 @@ def split_by_cost(
     max_pages: int,
     mode: str = "greedy",
     gh_bits_per_value: np.ndarray | None = None,
+    card_term: bool = False,
 ) -> np.ndarray:
     """Entropy-cost-driven boundaries: split the largest remaining block while
     it pays, then enforce the page-size memory bound.
@@ -258,7 +307,7 @@ def split_by_cost(
     n_rows = len(lens)
     if n_rows <= 1:
         return np.empty(0, dtype=np.int64)
-    rc = _RangeCost(values, lens, gh_bits_per_value)
+    rc = _RangeCost(values, lens, gh_bits_per_value, card_term=card_term)
     if mode == "dp" and n_rows <= _DP_MAX_ROWS:
         dp_bounds = split_dp(rc, lens, page_budget)
         # honor the blocksplittingmax contract: the DP has no native page-
