@@ -151,6 +151,15 @@ class _RangeCost:
             ).reshape(n_rows, _N_BUCKETS)
             self.cum_nov = np.zeros((n_rows + 1, _N_BUCKETS), dtype=np.int64)
             np.cumsum(hist_nov, axis=0, out=self.cum_nov[1:])
+            # per-bucket ceiling on the conditional term: H(V|bucket=b)
+            # can never exceed log2(bucket value-span) — without it the
+            # log2(novelty) bound overprices skewed buckets (windowed
+            # novelty re-flags recurring values) and measured +27 KB on
+            # the mixture's zipf-heavy group
+            lo = np.concatenate(([int(samp[0])], edges))
+            hi = np.concatenate((edges, [int(samp[-1])]))
+            cap = np.log2(np.maximum((hi - lo).astype(np.float64), 1.0))
+            self.bucket_cap = np.pad(cap, (0, _N_BUCKETS - len(cap)))
         if gh_bits_per_value is not None and len(gh_bits_per_value) == int(
             self.cum_n[-1]
         ):
@@ -173,9 +182,8 @@ class _RangeCost:
         h = total * np.log2(total) - float((nz * np.log2(nz)).sum())
         if self.cum_nov is not None:
             novc = (self.cum_nov[j] - self.cum_nov[i]).astype(np.float64)
-            h += float(
-                (counts * np.log2(np.maximum(novc, 1.0))).sum()
-            )
+            cond = np.minimum(np.log2(np.maximum(novc, 1.0)), self.bucket_cap)
+            h += float((counts * cond).sum())
         if self.cum_gh is not None:
             h = min(h, float(self.cum_gh[j] - self.cum_gh[i]))
         return h + _PAGE_HEADER_BYTES * 8.0
@@ -192,7 +200,8 @@ class _RangeCost:
             h = np.where(totals > 0, totals * np.log2(np.maximum(totals, 1)), 0.0) - ent.sum(axis=-1)
             if self.cum_nov is not None:
                 novc = (self.cum_nov[hi_idx] - self.cum_nov[lo_idx]).astype(np.float64)
-                h = h + (counts * np.log2(np.maximum(novc, 1.0))).sum(axis=-1)
+                cond = np.minimum(np.log2(np.maximum(novc, 1.0)), self.bucket_cap)
+                h = h + (counts * cond).sum(axis=-1)
             if self.cum_gh is not None:
                 h = np.minimum(h, self.cum_gh[hi_idx] - self.cum_gh[lo_idx])
             return h + _PAGE_HEADER_BYTES * 8.0
@@ -283,7 +292,8 @@ def _range_cost_vec(rc: _RangeCost, starts: np.ndarray, end: int) -> np.ndarray:
     h = np.where(totals > 0, totals * np.log2(np.maximum(totals, 1)), 0.0) - ent.sum(axis=-1)
     if rc.cum_nov is not None:
         novc = (rc.cum_nov[end] - rc.cum_nov[starts]).astype(np.float64)
-        h = h + (counts * np.log2(np.maximum(novc, 1.0))).sum(axis=-1)
+        cond = np.minimum(np.log2(np.maximum(novc, 1.0)), rc.bucket_cap)
+        h = h + (counts * cond).sum(axis=-1)
     if rc.cum_gh is not None:
         h = np.minimum(h, rc.cum_gh[end] - rc.cum_gh[starts])
     return h + _PAGE_HEADER_BYTES * 8.0
