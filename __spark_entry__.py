@@ -196,6 +196,42 @@ def q_roundtrip_groupdict(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _roundtrip_agg(docs, cfg)
 
 
+def q_roundtrip_mixedscale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixed-scale content through the full r6 estimator stack: each doc
+    holds a heavy-tail half (harmonic transform, card ≤ 512 — shared-
+    dictionary territory) AND a wide pseudo-uniform half (multiplicative
+    hash into 2^30 — bitpack territory), so every group is exactly the
+    zipf+wide mixture the quantile buckets + conditional-entropy card term
+    + group-code pricing were built for (the pre-r6 linear estimator read
+    such groups as ~0 bits and mis-split them — BENCH.md round-6). Both
+    derivations are integer-exact in Spark and DuckDB; the estimator
+    changes page geometry only, never decoded bytes."""
+    import dataclasses
+
+    li = _read(spark, sf_dir, "lineitem")
+    docs = (
+        li.groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_list(F.col("l_partkey").cast("bigint"))).alias("t0"))
+        .select(
+            F.format_string("mix_%09d", F.col("l_orderkey")).alias("doc_id"),
+            F.expr(
+                "concat("
+                " transform(t0, x -> CAST(65536 div (1 + x % 512) AS INT)),"
+                " transform(t0, x -> CAST((x * 2654435761) % 1073741824 AS INT)))"
+            ).alias("tokens"),
+        )
+        .withColumn("n_tok", F.size("tokens").cast("int"))
+        .withColumn("source", F.lit("mix"))
+    )
+    cfg = dataclasses.replace(
+        _cfg_for(sf_dir),
+        group_dict=True,
+        cluster_docs=True,
+        split_card_term=True,
+    )
+    return _roundtrip_agg(docs, cfg)
+
+
 def q_pages_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row/value conservation through the page pipeline."""
     pages = encode_table(_lineitem_docs(spark, sf_dir), _cfg_for(sf_dir))
@@ -491,6 +527,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roundtrip_dict": q_roundtrip_dict,
         "roundtrip_deep": q_roundtrip_deep,
         "roundtrip_groupdict": q_roundtrip_groupdict,
+        "roundtrip_mixedscale": q_roundtrip_mixedscale,
         "pages_inventory": q_pages_inventory,
         "partition_plan": q_partition_plan,
         "doc_stats": q_doc_stats,
@@ -703,6 +740,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT printf('doc_%09d', l_orderkey) AS doc_id,
                    CAST(count(*) AS BIGINT) AS n_dec,
                    CAST(sum(65536 // (1 + l_partkey % 512)) AS BIGINT) AS tok_sum
+            FROM lineitem GROUP BY l_orderkey ORDER BY doc_id
+        """,
+        "roundtrip_mixedscale": """
+            SELECT printf('mix_%09d', l_orderkey) AS doc_id,
+                   CAST(2 * count(*) AS BIGINT) AS n_dec,
+                   CAST(sum(65536 // (1 + l_partkey % 512))
+                        + sum((l_partkey * 2654435761) % 1073741824) AS BIGINT)
+                       AS tok_sum
             FROM lineitem GROUP BY l_orderkey ORDER BY doc_id
         """,
         "metrics_topk": """
