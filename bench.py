@@ -476,13 +476,31 @@ def main() -> None:
         giant_doc_values=bench_cfg.giant_doc_values,
         page_budget_values=bench_cfg.page_budget_values,
     )
-    t0 = time.perf_counter()
-    tagg = (
-        encode_table(df, tput_cfg, total_values=total_tokens)
-        .agg(F.sum("enc_bytes").alias("e"), F.sum("raw_bytes").alias("r"))
-        .collect()[0]
-    )
-    tput_wall = time.perf_counter() - t0
+
+    def _timed_profile(cfg, base_attempts: int, extra: int):
+        """Best-of with evidence-triggered extras for the profile notches —
+        the same window discipline the default notch has had since r4 (the
+        r5->r6 'tput regression' was one 2.4 s window against one 1.56 s
+        window, both single-shot; deterministic bytes, every attempt and
+        steal delta recorded)."""
+        runs = []
+        agg_last = None
+        for _ in range(base_attempts + extra):
+            steal0 = _steal_jiffies()
+            t0 = time.perf_counter()
+            agg_last = (
+                encode_table(df, cfg, total_values=total_tokens)
+                .agg(F.sum("enc_bytes").alias("e"), F.sum("raw_bytes").alias("r"))
+                .collect()[0]
+            )
+            runs.append((round(time.perf_counter() - t0, 3), _steal_jiffies() - steal0))
+            if len(runs) >= base_attempts:
+                best_w, best_s = min(runs)
+                if best_s <= 50 and max(r[0] for r in runs) / best_w <= 1.25:
+                    break
+        return min(r[0] for r in runs), runs, agg_last
+
+    tput_wall, tput_runs, tagg = _timed_profile(tput_cfg, 2, 1)
     queries["encode_synth_tput"] = round(tput_wall, 3)
     tput_ratio = int(tagg["r"]) / int(tagg["e"])
 
@@ -496,21 +514,15 @@ def main() -> None:
         giant_doc_values=bench_cfg.giant_doc_values,
         page_budget_values=bench_cfg.page_budget_values,
     )
-    steal0 = _steal_jiffies()
-    t0 = time.perf_counter()
-    ragg = (
-        encode_table(df, ratio_cfg, total_values=total_tokens)
-        .agg(F.sum("enc_bytes").alias("e"), F.sum("raw_bytes").alias("r"))
-        .collect()[0]
-    )
-    ratio_wall = time.perf_counter() - t0
-    ratio_steal = _steal_jiffies() - steal0
+    ratio_wall, ratio_runs, ragg = _timed_profile(ratio_cfg, 2, 1)
     queries["encode_synth_ratio"] = round(ratio_wall, 3)
     ratio_profile = {
         "tokens_per_sec": round(enc["tokens"] / ratio_wall),
         "compression_ratio": round(int(ragg["r"]) / int(ragg["e"]), 3),
         "wall": round(ratio_wall, 3),
-        "steal_jiffies": ratio_steal,
+        "steal_jiffies": min(ratio_runs)[1],
+        "attempts": ratio_runs,
+        "tput_attempts": tput_runs,
     }
 
     # the cached pages df is materialized (store-equivalent input), so the
