@@ -243,14 +243,15 @@ def encode_simple(v: np.ndarray) -> bytes:
     return _enc_delta(v, zz, w_d)
 
 
-def _run_lengths(v: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+def _run_lengths(v: np.ndarray, dv: np.ndarray | None = None) -> tuple[np.ndarray, np.ndarray]:
     """(run_values, run_lengths) — vectorized run detection.
 
     The reference tracks same-byte run length in its rolling hash
-    (src/zopfli/hash.c:143-164); here the whole job is one np.diff pass.
+    (src/zopfli/hash.c:143-164); here the whole job is one np.diff pass
+    (``dv`` lets a caller that already computed np.diff(v) share it).
     """
     n = len(v)
-    boundaries = np.flatnonzero(np.diff(v)) + 1
+    boundaries = np.flatnonzero(np.diff(v) if dv is None else dv) + 1
     starts = np.concatenate(([0], boundaries))
     ends = np.concatenate((boundaries, [n]))
     return v[starts], (ends - starts).astype(np.int64)
@@ -286,20 +287,32 @@ def _build_dict(v: np.ndarray, uniq: np.ndarray, inverse: np.ndarray) -> bytes:
     return bytes([DICT]) + _U32.pack(card) + _U32.pack(len(dict_blob)) + dict_blob + idx_blob
 
 
+# powers of two for the coarse-cardinality sweep (uint64 domain)
+_HB_POWS = np.uint64(1) << np.arange(64, dtype=np.uint64)
+
+
 def _dict_shift_best_s(uniq: np.ndarray, n: int) -> tuple[int | None, float]:
-    """Pick the quantization shift by analytic size estimate: for each s the
-    coarse cardinality is one O(card) diff over the (sorted) uniq array —
-    no per-s np.unique over the full page."""
+    """Pick the quantization shift by analytic size estimate. The coarse
+    cardinality for EVERY shift comes from one pass over the sorted uniq
+    array: for sorted a < b, (a >> s) != (b >> s) iff the highest set bit of
+    a XOR b is at position ≥ s (two's-complement arithmetic shift included:
+    a sign difference sets bit 63, a boundary at every s), so a histogram of
+    per-adjacent-pair highest-differing-bit positions yields cardq(s) as a
+    suffix sum — replacing the per-s O(card) diff of the 24-step sweep."""
     best_s, best_est = None, np.inf
     vmin, vmax = int(uniq[0]), int(uniq[-1])
+    xr = (uniq[1:] ^ uniq[:-1]).view(np.uint64)
+    hb = np.searchsorted(_HB_POWS, xr, side="right") - 1  # highest set bit
+    cnt = np.bincount(hb, minlength=64)
+    # cardq(s) = 1 + #{pairs with hb >= s}
+    suffix = np.concatenate((np.cumsum(cnt[::-1])[::-1], [0]))
     for s in range(1, 25):
         # the n·s/8 raw-residual term alone lower-bounds every larger s:
         # once it exceeds the best estimate, no deeper shift can win — skips
-        # most of the 24-step sweep (each step pays an O(card) diff)
+        # most of the 24-step sweep
         if 14.0 + n * s / 8.0 >= best_est:
             break
-        q = uniq >> s
-        cardq = 1 + int(np.count_nonzero(np.diff(q)))
+        cardq = 1 + int(suffix[s])
         entry_w = bit_width(max((vmax >> s) - (vmin >> s), 1))
         est = 14.0 + cardq * entry_w / 8.0 + n * (bit_width(max(cardq - 1, 1)) + s) / 8.0
         if est < best_est:
@@ -824,13 +837,21 @@ def encode_best(
     plane_strategy: str = "rle",
     try_huffman: bool = True,
     huffman_headroom: float = 0.8,
-) -> bytes:
+    budget: int | None = None,
+) -> bytes | None:
     """Encode with the exact-cost argmin over all viable codecs.
 
     Mirrors ``AddLZ77BlockAutoType`` (reference src/zopfli/deflate.c:1071-1131):
     every candidate's *real* encoded size decides, and PLAIN is always a
     candidate so the result is never larger than raw + 1 tag byte (stored-block
     guarantee, deflate.c:951-989).
+
+    ``budget``: candidate-encode cap (merge/squeeze proposals, where only a
+    result strictly under the caller's current bytes can be adopted) — the
+    size gates start from min(plain, budget), so candidates that cannot beat
+    the proposal's bar are never materialized, and None is returned when
+    nothing comes in under it. The returned blob is always a valid encoding;
+    a tighter starting bar only prunes candidates that could not win.
     """
     # keep a narrow view for sort-heavy probes (unique on int32 moves half
     # the bytes of the int64 working copy)
@@ -838,43 +859,58 @@ def encode_best(
     v = _as_i64(v)
     n = len(v)
     if n == 0:
-        return bytes([PLAIN])
+        return bytes([PLAIN]) if budget is None or budget > 1 else None
     vmin = int(v.min())
     vmax = int(v.max())
     if vmin == vmax:
-        return _enc_constant(vmin) if n >= 3 else _enc_plain(v)
+        blob = _enc_constant(vmin) if n >= 3 else _enc_plain(v)
+        return blob if budget is None or len(blob) < budget else None
 
     def ok(tag: int) -> bool:
         return allowed is None or tag in allowed
 
     candidates: list[bytes] = []
     plain_size = 1 + 4 * n
-    best_size = plain_size
+    best_size = plain_size if budget is None else min(plain_size, budget)
+    # budget-FREE running best for the two heuristic admission gates below
+    # (plane-DEFLATE and Huffman): their entropy comparisons are heuristics,
+    # not lower bounds — plane DEFLATE routinely realizes BELOW order-0
+    # entropy by exploiting order structure — so capping them at the budget
+    # would skip candidates that could still win it (measured on the bench
+    # mixture: merge successes dropped and bytes grew 0.3-1.6% when these
+    # gates saw the budget-capped bar). ``heur`` tracks what an unbudgeted
+    # search's best would be from exact analytic sizes + realized candidates,
+    # so the heuristic gates behave identically with or without a budget.
+    heur = plain_size
 
     # --- analytic candidates -------------------------------------------------
     w_for = bit_width(vmax - vmin)
     if ok(FOR_BITPACK):
         s = 1 + 8 + 1 + _size_packed(n, w_for)
+        heur = min(heur, s)
         if s < best_size:
             candidates.append(_enc_for(v, vmin, w_for))
             best_size = min(best_size, len(candidates[-1]))
 
-    zz = zigzag_encode(np.diff(v))
+    dv = np.diff(v)
+    zz = zigzag_encode(dv)
     w_d = bit_width(int(zz.max())) if n > 1 else 0
     if ok(DELTA) and n > 1:
         s = 1 + 8 + 1 + _size_packed(n - 1, w_d)
+        heur = min(heur, s)
         if s < best_size:
             candidates.append(_enc_delta(v, zz, w_d))
             best_size = min(best_size, len(candidates[-1]))
 
     # --- run-length ----------------------------------------------------------
-    run_vals, run_lens = _run_lengths(v)
+    run_vals, run_lens = _run_lengths(v, dv)
     n_runs = len(run_vals)
     if ok(RLE) and n_runs <= n // 2:
         # lower bound: each run ≥ (w_for + 1 bit) — prune hopeless cases
         lb = 1 + 8 + (n_runs * (w_for + 1) + 7) // 8
-        if lb < best_size:
+        if lb < min(best_size, heur):
             blob = _build_rle(v, run_vals, run_lens)
+            heur = min(heur, len(blob))
             if len(blob) < best_size:
                 candidates.append(blob)
                 best_size = len(blob)
@@ -889,18 +925,21 @@ def encode_best(
         card = len(uniq)
         w_idx = bit_width(card - 1)
         lb = 1 + 4 + 4 + (card * 2 + n * w_idx + 7) // 8
-        if card >= 2 and w_idx < 32 and lb < best_size:
+        if card >= 2 and w_idx < 32 and lb < min(best_size, heur):
             blob = _build_dict(v, uniq, inverse)
+            heur = min(heur, len(blob))
             if len(blob) < best_size:
                 candidates.append(blob)
                 best_size = len(blob)
 
     # --- coarsened (quantized) dictionary -------------------------------------
     if ok(DICT_SHIFT) and uniq is not None and len(uniq) > 256:
-        blob = _build_dict_shift(v, uniq, n, best_size)
-        if blob is not None and len(blob) < best_size:
-            candidates.append(blob)
-            best_size = len(blob)
+        blob = _build_dict_shift(v, uniq, n, min(best_size, heur))
+        if blob is not None:
+            heur = min(heur, len(blob))
+            if len(blob) < best_size:
+                candidates.append(blob)
+                best_size = len(blob)
 
     # --- entropy-coded candidates (gated) --------------------------------------
     # PLANE_ZLIB runs FIRST: under the Z_RLE strategy it is the cheap
@@ -918,8 +957,9 @@ def encode_best(
             uniq, inverse = np.unique(v, return_inverse=True)
         counts = np.bincount(inverse)
         h_bytes = _entropy_bits(counts) / 8.0
-        if best_size > h_bytes * 1.1:
+        if heur > h_bytes * 1.1:
             pz = _enc_plane_zlib(v, vmin, w_for, zlib_level, plane_strategy)
+            heur = min(heur, len(pz))
             if len(pz) < best_size:
                 candidates.append(pz)
                 best_size = len(pz)
@@ -946,7 +986,7 @@ def encode_best(
             lb_dict = 10 + (card - 1 + 7) // 8
             fixed = 1 + 4 + 4 + lb_dict + 1 + 4 + 9 + 2 + 4 + 1 + 4
             lb_table = (card * 3) // 8
-            if fixed + lb_table + int(_entropy_bits(counts)) // 8 < huffman_headroom * best_size:
+            if fixed + lb_table + int(_entropy_bits(counts)) // 8 < huffman_headroom * heur:
                 # optimal lengths first; the exact unsmoothed payload is a
                 # lower bound for both variants, so it gates BEFORE paying
                 # for the smoothed-variant comparison
@@ -959,9 +999,13 @@ def encode_best(
                         candidates.append(blob)
                         best_size = len(blob)
 
-    if not candidates or best_size >= plain_size:
-        return _enc_plain(v)
-    return min(candidates, key=len)
+    if candidates:
+        best = min(candidates, key=len)
+        if len(best) < plain_size:
+            return best
+    if budget is not None and plain_size >= budget:
+        return None
+    return _enc_plain(v)
 
 
 # ---------------------------------------------------------------------------

@@ -544,10 +544,22 @@ def _encode_group(
     _gh_state: dict = {}
 
     def _gh_ctx() -> dict:
-        if _gh_state:
+        if "blob" in _gh_state:
             return _gh_state
         _gh_state.update(train_group_dict(values, config))
         return _gh_state
+
+    def _gh_syms() -> np.ndarray:
+        """Group-wide symbol stream under the shared dictionary, computed
+        ONCE and sliced per span: group_tokens is a pure per-value map, so a
+        slice of the whole-group tokenization equals tokenizing the slice.
+        Kills the per-candidate searchsorted over the dictionary that every
+        split/squeeze/merge proposal used to pay."""
+        if "sym" not in _gh_state:
+            from .codecs.kernels import group_tokens as _gt
+
+            _gh_state["sym"] = _gt(values, _gh_ctx()["gd"])[0]
+        return _gh_state["sym"]
 
     def _gh_encode_values(vals: np.ndarray) -> bytes:
         """group_encoder for forced 'group_huffman' replay (pagecodec)."""
@@ -581,10 +593,8 @@ def _encode_group(
         ctx = _gh_ctx()
         if ctx["blob"] is None:
             return None
-        from .codecs.kernels import group_tokens as _gt
-
         gd = ctx["gd"]
-        sym, _esc = _gt(values, gd)
+        sym = _gh_syms()
         bits = gd.lengths[sym].astype(np.float64)
         # escapes additionally ship a literal in the per-page side blob;
         # encode_simple typically lands 16-40 bits per int64 literal — 32
@@ -608,6 +618,25 @@ def _encode_group(
 
         return GROUP_HUFFMAN
 
+    _rc_state: list = []
+
+    def _rc_cached():
+        """One _RangeCost per group (VERDICT r6 wrong #3): its cumulative
+        structures depend only on (values, lens, gh_bits, card_term) — the
+        budgets differ per split-search site, the structures don't — so the
+        initial split and the mode-grid alternate geometries share one
+        construction. Recompress re-splits slice the value stream and build
+        their own small ones."""
+        if not _rc_state:
+            from .pages import _RangeCost
+
+            _rc_state.append(
+                _RangeCost(
+                    values, lens, _gh_bits_cached(), card_term=config.split_card_term
+                )
+            )
+        return _rc_state[0]
+
     if plan is None and not hinted:
         if config.split_mode in ("cost", "dp") and len(lens) > 1:
             bounds = split_by_cost(
@@ -618,6 +647,7 @@ def _encode_group(
                 mode="dp" if config.split_mode == "dp" else "greedy",
                 gh_bits_per_value=_gh_bits_cached(),
                 card_term=config.split_card_term,
+                rc=_rc_cached(),
             )
         else:
             bounds = split_simple(lens, config.page_budget_values)
@@ -648,16 +678,24 @@ def _encode_group(
         level: int | None = None,
         zlib_only: bool = False,
         dial: bool = False,
+        budget: int | None = None,
     ):
         key = (r0, r1, forced, level, zlib_only, dial)
         hit = _memo.get(key)
         if hit is not None:
+            # best-known page for the span; a budgeted caller compares sizes
             return hit
-        page = _encode_span(r0, r1, forced, level, zlib_only, dial)
-        cost = len(page[0]) + len(page[1])
-        if _memo_bytes[0] + cost <= _MEMO_CAP:
-            _memo[key] = page
-            _memo_bytes[0] += cost
+        page = _encode_span(r0, r1, forced, level, zlib_only, dial, budget=budget)
+        if page is None:  # budgeted proposal lost — nothing to memoize
+            return None
+        if budget is None:
+            # budgeted winners are not memoized: their tighter gates may
+            # have pruned a candidate an unbudgeted search would pick, so
+            # only full searches populate the span cache
+            cost = len(page[0]) + len(page[1])
+            if _memo_bytes[0] + cost <= _MEMO_CAP:
+                _memo[key] = page
+                _memo_bytes[0] += cost
         return page
 
     def _encode_span(
@@ -668,6 +706,7 @@ def _encode_group(
         zlib_only: bool = False,
         dial: bool = False,
         group_ok: bool = True,
+        budget: int | None = None,
     ):
         # ``dial``: mode-grid codec-dial axis — widen the Huffman admission
         # to its entropy bound and keep-if-smaller both plane strategies.
@@ -690,6 +729,7 @@ def _encode_group(
             huffman_headroom=1.0 if dial else config.huffman_headroom,
             allowed=allowed_tags,
             group_encoder=_gh_encode_values,
+            budget=budget,
         )
         # group_huffman candidate IN the argmin (config.group_dict): the
         # shared dictionary is fixed per group (window training, above), so
@@ -713,16 +753,24 @@ def _encode_group(
                 from .codecs.kernels import (
                     encode_group_huffman,
                     group_huffman_size,
-                    group_tokens,
                 )
 
                 gd = ctx["gd"]
-                sym, esc_vals = group_tokens(values[v0:v1], gd)
+                sym = _gh_syms()[v0:v1]
+                esc_vals = values[v0:v1][sym == len(gd.vals)]
                 # escape-heavy spans never win (each escape pays the ESC
                 # code plus a literal) — skip the exact sizing for them
                 if len(esc_vals) * 4 < (v1 - v0):
+                    if page is not None:
+                        bar = len(page[1])
+                    else:
+                        # base argmin lost its budget; the group candidate
+                        # can still win the proposal on its own
+                        from .operators.pagecodec import HEADER_FLOOR
+
+                        bar = budget - HEADER_FLOOR
                     cand_sz = group_huffman_size(sym, esc_vals, gd)
-                    if cand_sz < len(page[1]):
+                    if cand_sz < bar and page is not None:
                         prev = _gh_alts.get((r0, r1))
                         if prev is None or len(page[1]) < len(prev[0]):
                             grow = len(page[1]) - (len(prev[0]) if prev else 0)
@@ -735,6 +783,24 @@ def _encode_group(
                             "group_huffman",
                             page[3],
                         )
+                    elif cand_sz < bar:
+                        from .operators.pagecodec import build_header, page_checksum
+
+                        header = build_header(
+                            doc_ids[r0:r1], sources[r0:r1], lens[r0:r1]
+                        )
+                        if cand_sz + len(header) < budget:
+                            page = (
+                                header,
+                                encode_group_huffman(sym, esc_vals, gd, gd.crc),
+                                "group_huffman",
+                                page_checksum(
+                                    doc_ids[r0:r1],
+                                    sources[r0:r1],
+                                    lens[r0:r1],
+                                    values[v0:v1],
+                                ),
+                            )
         return page
 
     pages = [
@@ -823,6 +889,7 @@ def _encode_group(
                                 mode="dp",
                                 gh_bits_per_value=_gh_bits_cached(),
                                 card_term=config.split_card_term,
+                                rc=_rc_cached(),
                             ),
                             [len(lens)],
                         )
@@ -846,6 +913,7 @@ def _encode_group(
                                 config.max_pages_per_group * 2,
                                 gh_bits_per_value=_gh_bits_cached(),
                                 card_term=config.split_card_term,
+                                rc=_rc_cached(),
                             ),
                             [len(lens)],
                         )
@@ -907,8 +975,9 @@ def _encode_group(
             if config.huffman_headroom < 1.0 or config.plane_strategy != "both":
                 for k in range(len(pages)):
                     r0k, r1k = int(row_bounds[k]), int(row_bounds[k + 1])
-                    cand = encode_rows(r0k, r1k, dial=True)
-                    if len(cand[0]) + len(cand[1]) < len(pages[k][0]) + len(pages[k][1]):
+                    cur_k = len(pages[k][0]) + len(pages[k][1])
+                    cand = encode_rows(r0k, r1k, dial=True, budget=cur_k)
+                    if cand is not None and len(cand[0]) + len(cand[1]) < cur_k:
                         pages[k] = cand
                 total_now = float(sum(len(h) + len(p) for h, p, _, _ in pages))
         # recompression passes (--pass analog, reference src/zopfli/deflate.c:
@@ -932,8 +1001,8 @@ def _encode_group(
                 page, size_k = pages[k], sizes[k]
                 if bpv[k] > 1.15 * med and nv[k] >= 4096:
                     # (b) full-effort zlib family on the existing span
-                    cand = encode_rows(r0, r1, level=9, zlib_only=True)
-                    if len(cand[0]) + len(cand[1]) < size_k:
+                    cand = encode_rows(r0, r1, level=9, zlib_only=True, budget=int(size_k))
+                    if cand is not None and len(cand[0]) + len(cand[1]) < size_k:
                         page, size_k = cand, len(cand[0]) + len(cand[1])
                         improved_any = True
                     # (a) re-split the outlier page: the entropy-estimate

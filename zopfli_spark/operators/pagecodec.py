@@ -64,6 +64,30 @@ def page_checksum(doc_ids, sources, lens: np.ndarray, values: np.ndarray) -> int
     return _crc_strings(sources, crc)
 
 
+# provable lower bound on any page header (n_rows + two length prefixes +
+# minimal lens/doc_id/source blobs): lets a budgeted encode reject on the
+# payload alone, before paying for the header encode
+HEADER_FLOOR = 24
+
+
+def build_header(doc_ids, sources, lens: np.ndarray) -> bytes:
+    """Encode the page header (lens + doc_id + source blobs) — split out so
+    budgeted candidate encodes (merge/squeeze proposals) can compute the
+    payload first and skip the header work entirely when the payload alone
+    already exceeds the byte budget."""
+    lens_blob = encode_simple(np.asarray(lens, dtype=np.int64))
+    docid_blob = encode_strings(doc_ids)
+    source_blob = encode_strings(sources)
+    return (
+        _U32.pack(len(doc_ids))
+        + _U32.pack(len(lens_blob))
+        + lens_blob
+        + _U32.pack(len(docid_blob))
+        + docid_blob
+        + source_blob
+    )
+
+
 def encode_page(
     doc_ids: np.ndarray,
     sources: np.ndarray,
@@ -80,7 +104,8 @@ def encode_page(
     huffman_headroom: float = 0.8,
     allowed: frozenset | None = None,
     group_encoder=None,
-) -> tuple[bytes, bytes, str, int]:
+    budget: int | None = None,
+) -> tuple[bytes, bytes, str, int] | None:
     """→ (header, payload, codec_name, checksum). ``doc_ids``/``sources``
     may be pa.StringArray (hot path, buffer-native) or object arrays.
     ``forced_codec`` is the lineage resume fast path (skip the argmin,
@@ -88,18 +113,11 @@ def encode_page(
     into the codec name so resume reproduces recompressed pages exactly.
     ``group_encoder``: callable(values) → group_huffman payload, supplied by
     the engine when replaying a recorded ``group_huffman`` winner (the
-    shared dictionary is group state encode_forced cannot rebuild alone)."""
-    lens_blob = encode_simple(np.asarray(lens, dtype=np.int64))
-    docid_blob = encode_strings(doc_ids)
-    source_blob = encode_strings(sources)
-    header = (
-        _U32.pack(len(doc_ids))
-        + _U32.pack(len(lens_blob))
-        + lens_blob
-        + _U32.pack(len(docid_blob))
-        + docid_blob
-        + source_blob
-    )
+    shared dictionary is group state encode_forced cannot rebuild alone).
+    ``budget``: candidate-encode byte cap (merge/squeeze proposals) —
+    returns None instead of a page when header+payload cannot come in under
+    it, skipping most of the codec search and all of the header/checksum
+    work on the (majority) losing proposals."""
     if forced_codec == "group_huffman":
         if group_encoder is None:
             raise ValueError("group_huffman replay needs the engine's group_encoder")
@@ -128,10 +146,16 @@ def encode_page(
             plane_strategy=plane_strategy,
             try_huffman=try_huffman,
             huffman_headroom=huffman_headroom,
+            budget=None if budget is None else budget - HEADER_FLOOR,
         )
+        if payload is None:
+            return None
         name = blob_codec_name(payload)
         if level_tag is not None and name in ("zlib", "for_zlib", "plane_zlib"):
             name = f"{name}@{level_tag}"
+    header = build_header(doc_ids, sources, lens)
+    if budget is not None and len(header) + len(payload) >= budget:
+        return None
     return header, payload, name, page_checksum(doc_ids, sources, lens, values)
 
 

@@ -307,17 +307,24 @@ def split_by_cost(
     mode: str = "greedy",
     gh_bits_per_value: np.ndarray | None = None,
     card_term: bool = False,
+    rc: "_RangeCost | None" = None,
 ) -> np.ndarray:
     """Entropy-cost-driven boundaries: split the largest remaining block while
     it pays, then enforce the page-size memory bound.
 
     The greedy largest-block driver is FindLargestSplittableBlock + the
     accept-only-if-cheaper loop (reference src/zopfli/blocksplitter.c:222-306).
+
+    ``rc``: a prebuilt :class:`_RangeCost` over exactly (values, lens,
+    gh_bits_per_value, card_term) — the cumulative structures depend only on
+    those, not on the budgets, so the engine builds ONE per group and shares
+    it across the initial split and the mode-grid alternate geometries.
     """
     n_rows = len(lens)
     if n_rows <= 1:
         return np.empty(0, dtype=np.int64)
-    rc = _RangeCost(values, lens, gh_bits_per_value, card_term=card_term)
+    if rc is None:
+        rc = _RangeCost(values, lens, gh_bits_per_value, card_term=card_term)
     if mode == "dp" and n_rows <= _DP_MAX_ROWS:
         dp_bounds = split_dp(rc, lens, page_budget)
         # honor the blocksplittingmax contract: the DP has no native page-
