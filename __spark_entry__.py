@@ -71,15 +71,40 @@ def _lineitem_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _roundtrip_agg(docs: DataFrame, cfg: EngineConfig = _CFG) -> DataFrame:
-    """encode → decode → per-doc aggregates over the DECODED arrays."""
-    pages = encode_table(docs, cfg)
+def _ordered(df: DataFrame, *cols) -> DataFrame:
+    """Total order for a SMALL final result without a range exchange (r7).
+
+    A plain ``orderBy`` compiles to a range-partitioned sort whose sampling
+    pass EXECUTES THE WHOLE CHILD PLAN a second time just to pick partition
+    bounds — for the round-trip queries that child is the full
+    encode→decode pipeline (measured on sf0.1: 4.7 s → 2.5 s for
+    roundtrip_lineitem with identical rows AND identical order). One
+    round-robin exchange into a single partition plus an in-partition sort
+    executes the child once; every declared result here is ≤ ~56 K rows, so
+    the single sort task is trivial."""
+    return df.repartition(1).sortWithinPartitions(*cols)
+
+
+def _roundtrip_agg(
+    docs: DataFrame, cfg: EngineConfig = _CFG, total_values: int | None = None
+) -> DataFrame:
+    """encode → decode → per-doc aggregates over the DECODED arrays.
+
+    ``total_values``: caller-supplied Σ n_tok (exact). Without it,
+    encode_table's planner runs a serialized pre-encode aggregation pass
+    over ``docs`` — for these queries that recomputes the whole
+    groupBy+collect_list derivation once more just to size the groups.
+    Each query below derives the same total from a cheap base-table
+    aggregate instead (r7; group geometry is unchanged because the totals
+    are exact)."""
+    pages = encode_table(docs, cfg, total_values=total_values)
     decoded = decode_table(pages, cfg)
-    return decoded.select(
+    out = decoded.select(
         "doc_id",
         F.size("tokens").cast("bigint").alias("n_dec"),
         F.aggregate("tokens", F.lit(0).cast("bigint"), lambda a, x: a + x).alias("tok_sum"),
-    ).orderBy("doc_id")
+    )
+    return _ordered(out, "doc_id")
 
 
 # ---------------------------------------------------------------------------
@@ -87,8 +112,18 @@ def _roundtrip_agg(docs: DataFrame, cfg: EngineConfig = _CFG) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _lineitem_total_tokens(spark: SparkSession, sf_dir: str) -> int:
+    """Σ n_tok of the lineitem-derived docs = one row per lineitem line —
+    a metadata-cheap count instead of re-running the collect_list pipeline."""
+    return _read(spark, sf_dir, "lineitem").count()
+
+
 def q_roundtrip_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _roundtrip_agg(_lineitem_docs(spark, sf_dir), _cfg_for(sf_dir))
+    return _roundtrip_agg(
+        _lineitem_docs(spark, sf_dir),
+        _cfg_for(sf_dir),
+        total_values=_lineitem_total_tokens(spark, sf_dir),
+    )
 
 
 def q_roundtrip_rle(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -100,7 +135,8 @@ def q_roundtrip_rle(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(64).cast("int").alias("n_tok"),
         F.lit("rle").alias("source"),
     )
-    return _roundtrip_agg(docs, _cfg_for(sf_dir))
+    total = 64 * li.count()
+    return _roundtrip_agg(docs, _cfg_for(sf_dir), total_values=total)
 
 
 def q_roundtrip_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -115,7 +151,13 @@ def q_roundtrip_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("tokens").cast("int").alias("n_tok"),
         F.lit("asc").alias("source"),
     )
-    return _roundtrip_agg(docs, _cfg_for(sf_dir))
+    total = int(
+        ords.agg(
+            F.sum((F.pmod(F.col("o_orderkey"), F.lit(500)) + F.lit(3)).cast("bigint"))
+        ).collect()[0][0]
+        or 0
+    )
+    return _roundtrip_agg(docs, _cfg_for(sf_dir), total_values=total)
 
 
 def q_roundtrip_dict(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -135,7 +177,7 @@ def q_roundtrip_dict(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("events").alias("source"),
         )
     )
-    return _roundtrip_agg(docs, _cfg_for(sf_dir))
+    return _roundtrip_agg(docs, _cfg_for(sf_dir), total_values=ev.count())
 
 
 def q_roundtrip_deep(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -162,7 +204,7 @@ def q_roundtrip_deep(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("events").alias("source"),
         )
     )
-    return _roundtrip_agg(docs, cfg)
+    return _roundtrip_agg(docs, cfg, total_values=ev.count())
 
 
 def q_roundtrip_groupdict(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -193,7 +235,9 @@ def q_roundtrip_groupdict(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("source", F.lit("lineitem"))
     )
     cfg = dataclasses.replace(_cfg_for(sf_dir), group_dict=True, cluster_docs=True)
-    return _roundtrip_agg(docs, cfg)
+    return _roundtrip_agg(
+        docs, cfg, total_values=_lineitem_total_tokens(spark, sf_dir)
+    )
 
 
 def q_roundtrip_mixedscale(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -229,12 +273,18 @@ def q_roundtrip_mixedscale(spark: SparkSession, sf_dir: str) -> DataFrame:
         cluster_docs=True,
         split_card_term=True,
     )
-    return _roundtrip_agg(docs, cfg)
+    return _roundtrip_agg(
+        docs, cfg, total_values=2 * _lineitem_total_tokens(spark, sf_dir)
+    )
 
 
 def q_pages_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row/value conservation through the page pipeline."""
-    pages = encode_table(_lineitem_docs(spark, sf_dir), _cfg_for(sf_dir))
+    pages = encode_table(
+        _lineitem_docs(spark, sf_dir),
+        _cfg_for(sf_dir),
+        total_values=_lineitem_total_tokens(spark, sf_dir),
+    )
     return pages.agg(
         F.sum("n_rows").cast("bigint").alias("total_rows"),
         F.sum("n_values").cast("bigint").alias("total_values"),
@@ -247,7 +297,7 @@ def q_partition_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     analog) with an oracle-expressible grouping key."""
     docs = _lineitem_docs(spark, sf_dir)
     grp = F.pmod(F.substring("doc_id", -3, 3).cast("bigint"), F.lit(8))
-    return (
+    out = (
         docs.withColumn("grp", grp)
         .groupBy("grp")
         .agg(
@@ -255,63 +305,66 @@ def q_partition_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tok").cast("bigint").alias("sum_tok"),
             F.max("n_tok").cast("bigint").alias("max_tok"),
         )
-        .orderBy("grp")
     )
+    return _ordered(out, "grp")
 
 
 def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text-analysis surface: per-source doc stats over `documents`."""
     d = _read(spark, sf_dir, "documents")
-    return (
+    out = (
         d.groupBy("source")
         .agg(
             F.count("*").cast("bigint").alias("n_docs"),
             F.sum("n_chars").cast("bigint").alias("sum_chars"),
             F.sum(F.length("text") - F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))).cast("bigint").alias("n_spaces"),
         )
-        .orderBy("source")
     )
+    return _ordered(out, "source")
 
 
 def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup by content hash over `documents` (training-data op)."""
     d = _read(spark, sf_dir, "documents")
-    return (
+    out = (
         d.groupBy(F.md5(F.col("text")).alias("content_md5"))
         .agg(
             F.count("*").cast("bigint").alias("dup_count"),
             F.min("doc_id").cast("bigint").alias("keep_doc_id"),
         )
         .filter(F.col("dup_count") >= 1)
-        .orderBy("content_md5")
     )
+    return _ordered(out, "content_md5")
 
 
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from zopfli_spark.functions.text import token_stats
 
-    return token_stats(_read(spark, sf_dir, "documents")).orderBy("doc_id")
+    out = token_stats(_read(spark, sf_dir, "documents"))
+    return _ordered(out, "doc_id")
 
 
 def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     from zopfli_spark.functions.text import quality_score
 
-    return quality_score(_read(spark, sf_dir, "documents")).select(
+    out = quality_score(_read(spark, sf_dir, "documents")).select(
         "doc_id", "quality_x1000"
-    ).orderBy("doc_id")
+    )
+    return _ordered(out, "doc_id")
 
 
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     from zopfli_spark.functions.text import lang_id
 
-    return lang_id(_read(spark, sf_dir, "documents")).orderBy("doc_id")
+    out = lang_id(_read(spark, sf_dir, "documents"))
+    return _ordered(out, "doc_id")
 
 
 def q_ngram_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from zopfli_spark.functions.text import ngram_jaccard_pairs
 
     docs = _read(spark, sf_dir, "documents")
-    return (
+    out = (
         ngram_jaccard_pairs(
             docs, k=8, threshold=0.15, bucket_cols=("lang",), max_shingle_df=250
         )
@@ -322,8 +375,8 @@ def q_ngram_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_a").cast("bigint").alias("n_a"),
             F.col("n_b").cast("bigint").alias("n_b"),
         )
-        .orderBy("id_a", "id_b")
     )
+    return _ordered(out, "id_a", "id_b")
 
 
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -331,12 +384,13 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _read(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < 20)
-    return brute_topk(queries_df, emb, k=3).select(
+    out = brute_topk(queries_df, emb, k=3).select(
         F.col("query_id").cast("bigint"),
         F.col("rank").cast("bigint"),
         F.col("neighbor_id").cast("bigint"),
         F.col("qdot").cast("bigint"),
-    ).orderBy("query_id", "rank")
+    )
+    return _ordered(out, "query_id", "rank")
 
 
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -352,26 +406,26 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _read(spark, sf_dir, "documents")
     sigs = minhash_signatures(docs, k=8, n_hashes=32, hash_mode="portable").cache()
     pairs = lsh_candidate_pairs(sigs, n_hashes=32, bands=8, hash_mode="portable")
-    return (
+    out = (
         minhash_jaccard_estimate(sigs, pairs, n_hashes=32)
         .select(
             F.col("id_a").cast("bigint").alias("id_a"),
             F.col("id_b").cast("bigint").alias("id_b"),
             "jaccard_est",
         )
-        .orderBy("id_a", "id_b")
     )
+    return _ordered(out, "id_a", "id_b")
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash per doc (portable 60-bit md5-prefix hash — oracle-replayable)."""
     from zopfli_spark.functions.text import simhash64
 
-    return (
+    out = (
         simhash64(_read(spark, sf_dir, "documents"), k=4, hash_mode="portable")
         .select(F.col("doc_id").cast("bigint").alias("doc_id"), "simhash")
-        .orderBy("doc_id")
     )
+    return _ordered(out, "doc_id")
 
 
 def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -381,7 +435,7 @@ def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from zopfli_spark.functions.similarity import lsh_topk
 
     emb = _read(spark, sf_dir, "embeddings")
-    return (
+    out = (
         lsh_topk(
             emb.filter(F.col("vec_id") < 20), emb, k=3, dim=64, plane_mode="portable"
         )
@@ -391,8 +445,8 @@ def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("neighbor_id").cast("bigint").alias("neighbor_id"),
             F.col("qdot").cast("bigint").alias("qdot"),
         )
-        .orderBy("query_id", "rank")
     )
+    return _ordered(out, "query_id", "rank")
 
 
 def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -402,15 +456,15 @@ def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from zopfli_spark.functions.similarity import lsh_near_dup
 
     emb = _read(spark, sf_dir, "embeddings")
-    return (
+    out = (
         lsh_near_dup(emb, threshold_pct=40, dim=64, plane_mode="portable")
         .select(
             F.col("id_a").cast("bigint").alias("id_a"),
             F.col("id_b").cast("bigint").alias("id_b"),
             F.col("qdot").cast("bigint").alias("qdot"),
         )
-        .orderBy("id_a", "id_b")
     )
+    return _ordered(out, "id_a", "id_b")
 
 
 def q_setops_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -419,7 +473,8 @@ def q_setops_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     encode→decode pipeline, per source."""
     docs = _lineitem_docs(spark, sf_dir)
     cfg = _cfg_for(sf_dir)
-    decoded = decode_table(encode_table(docs, cfg), cfg)
+    total = _lineitem_total_tokens(spark, sf_dir)
+    decoded = decode_table(encode_table(docs, cfg, total_values=total), cfg)
     a = docs.select("doc_id", F.col("tokens").cast("string").alias("t"))
     b = decoded.select("doc_id", F.col("tokens").cast("string").alias("t"))
     return spark.createDataFrame(
@@ -436,7 +491,14 @@ def q_metrics_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     checkable; VERDICT r2 next #8). Total ordering (n_tok desc, doc_id)
     makes the limit cutoff deterministic on both sides."""
     cfg = _cfg_for(sf_dir)
-    dec = decode_table(encode_table(_lineitem_docs(spark, sf_dir), cfg), cfg)
+    dec = decode_table(
+        encode_table(
+            _lineitem_docs(spark, sf_dir),
+            cfg,
+            total_values=_lineitem_total_tokens(spark, sf_dir),
+        ),
+        cfg,
+    )
     return (
         dec.select(
             "doc_id",
@@ -452,14 +514,14 @@ def q_distinct_prescreen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dictionary-viability prescreen (SURVEY §2.7): exact distinct counts per
     source as the oracle-checkable form of the approx_count_distinct gate."""
     li = _read(spark, sf_dir, "lineitem")
-    return (
+    out = (
         li.groupBy("l_returnflag")
         .agg(
             F.countDistinct("l_partkey").cast("bigint").alias("n_distinct_parts"),
             F.count("*").cast("bigint").alias("n_rows"),
         )
-        .orderBy("l_returnflag")
     )
+    return _ordered(out, "l_returnflag")
 
 
 def q_window_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -471,7 +533,7 @@ def q_window_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _lineitem_docs(spark, sf_dir)
     grp = F.pmod(F.substring("doc_id", -3, 3).cast("bigint"), F.lit(8))
     w = Window.partitionBy("grp").orderBy("doc_id")
-    return (
+    out = (
         docs.withColumn("grp", grp)
         .withColumn("rn", F.row_number().over(w).cast("bigint"))
         .withColumn(
@@ -479,18 +541,18 @@ def q_window_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tok").over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("bigint"),
         )
         .select("doc_id", F.col("grp").cast("bigint"), "rn", "cum_tok")
-        .orderBy("doc_id")
     )
+    return _ordered(out, "doc_id")
 
 
 def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     from zopfli_spark.functions.text import winnow_fingerprints
 
-    return (
+    out = (
         winnow_fingerprints(_read(spark, sf_dir, "documents"), k=8, window=4)
         .select(F.col("doc_id").cast("bigint"), F.col("fingerprint").cast("bigint"))
-        .orderBy("doc_id", "fingerprint")
     )
+    return _ordered(out, "doc_id", "fingerprint")
 
 
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -507,7 +569,7 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(1).cast("int").alias("n_frames"),
         F.lit(0).cast("int").alias("sample_rate"),
     )
-    return (
+    out = (
         extract_features(media, out_w=16, out_h=16, max_frames=2)
         .select(
             "media_id",
@@ -515,8 +577,8 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("out_height").cast("bigint"),
             F.col("n_frames_sampled").cast("bigint"),
         )
-        .orderBy("media_id")
     )
+    return _ordered(out, "media_id")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -178,6 +178,18 @@ def _compress_plane(data: bytes, level: int, strategy: str) -> bytes:
     r = _zcomp(data, level, zlib.Z_RLE)
     if strategy == "rle":
         return r
+    # 'both' keep-if-smaller, with one measured carve-out (r7): planes whose
+    # Z_RLE stream lands at 0.25-0.40 of raw are run-free mid-entropy noise
+    # where the level-9 match search grinds hardest and essentially never
+    # wins — on the bench mixture, 1,300 such planes burned 11.6 s (a third
+    # of all match-search CPU) to win 0-1% of the time for 414 bytes of
+    # 25.8 MB. Wins cluster below 0.20 (structured planes, 57-89% win rate,
+    # 179 KB) and at/above 0.40 — both margins kept with headroom. Pure
+    # function of the plane bytes, so determinism and decode (any RFC1950
+    # stream) are unaffected.
+    q = len(r) / max(len(data), 1)
+    if 0.25 <= q < 0.40:
+        return r
     d = zlib.compress(data, level)
     return d if len(d) < len(r) else r
 
